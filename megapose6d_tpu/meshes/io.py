@@ -1,0 +1,435 @@
+"""Mesh loading / preprocessing (host-side numpy, runs once per object set).
+
+Replaces the reference's trimesh-based loading (megapose6d:
+src/megapose/lib3d/rigid_mesh_database.py:57-130) with a dependency-free
+PLY/OBJ reader plus texture baking and vertex-clustering decimation, producing
+fixed-layout arrays ready for the padded device mesh database.
+
+Everything here is offline preprocessing; nothing is jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TriMesh:
+    """A triangle mesh with per-vertex attributes (float32/int32)."""
+
+    vertices: np.ndarray  # [V, 3] float32
+    faces: np.ndarray  # [F, 3] int32
+    vertex_normals: np.ndarray | None = None  # [V, 3]
+    vertex_colors: np.ndarray | None = None  # [V, 3] in [0, 1]
+
+    def __post_init__(self):
+        self.vertices = np.ascontiguousarray(self.vertices, np.float32)
+        self.faces = np.ascontiguousarray(self.faces, np.int32)
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.vertices)
+
+    @property
+    def n_faces(self) -> int:
+        return len(self.faces)
+
+    def with_computed_normals(self) -> "TriMesh":
+        if self.vertex_normals is not None:
+            return self
+        return dataclasses.replace(
+            self, vertex_normals=compute_vertex_normals(self.vertices, self.faces)
+        )
+
+    def scaled(self, scale: float) -> "TriMesh":
+        return dataclasses.replace(
+            self, vertices=(self.vertices * np.float32(scale))
+        )
+
+    def diameter(self, n_sample: int = 1000, seed: int = 0) -> float:
+        """Approximate mesh diameter (max pairwise vertex distance), via
+        subsampling like the reference (rigid_mesh_database.py:34-44)."""
+        v = self.vertices
+        if len(v) > n_sample:
+            idx = np.random.RandomState(seed).choice(
+                len(v), n_sample, replace=False
+            )
+            v = v[idx]
+        d2 = ((v[None] - v[:, None]) ** 2).sum(-1)
+        return float(np.sqrt(d2.max()))
+
+
+def compute_vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals."""
+    v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
+    fn = np.cross(v1 - v0, v2 - v0)  # area-weighted
+    vn = np.zeros_like(vertices)
+    for i in range(3):
+        np.add.at(vn, faces[:, i], fn)
+    norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+    return (vn / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# PLY
+# ---------------------------------------------------------------------------
+
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+def load_ply(path: str | Path) -> TriMesh:
+    """Parse ascii / binary-little-endian PLY (the BOP model format)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.find(b"end_header\n")
+    assert header_end >= 0, f"bad PLY header: {path}"
+    header = data[:header_end].decode("ascii", "replace").splitlines()
+    body = data[header_end + len(b"end_header\n"):]
+
+    fmt = None
+    elements: list[tuple[str, int, list]] = []  # (name, count, props)
+    for line in header:
+        tok = line.strip().split()
+        if not tok:
+            continue
+        if tok[0] == "format":
+            fmt = tok[1]
+        elif tok[0] == "element":
+            elements.append((tok[1], int(tok[2]), []))
+        elif tok[0] == "property":
+            if tok[1] == "list":
+                elements[-1][2].append(("list", tok[2], tok[3], tok[4]))
+            else:
+                elements[-1][2].append(("scalar", tok[1], tok[2]))
+
+    assert fmt in ("ascii", "binary_little_endian"), fmt
+    verts = normals = colors = None
+    faces = None
+
+    if fmt == "ascii":
+        rows = body.decode("ascii").split("\n")
+        cursor = 0
+        for name, count, props in elements:
+            chunk = rows[cursor : cursor + count]
+            cursor += count
+            if name == "vertex":
+                arr = np.array(
+                    [r.split() for r in chunk], dtype=np.float64
+                )
+                cols = [p[2] for p in props]
+                verts, normals, colors = _extract_vertex_cols(arr, cols)
+            elif name == "face":
+                faces = _parse_ascii_faces(chunk)
+    else:
+        offset = 0
+        for name, count, props in elements:
+            if all(p[0] == "scalar" for p in props):
+                dt = np.dtype(
+                    [(p[2], "<" + _PLY_DTYPES[p[1]]) for p in props]
+                )
+                arr = np.frombuffer(body, dt, count, offset)
+                offset += dt.itemsize * count
+                if name == "vertex":
+                    cols = [p[2] for p in props]
+                    flat = np.stack(
+                        [arr[c].astype(np.float64) for c in cols], -1
+                    )
+                    verts, normals, colors = _extract_vertex_cols(flat, cols)
+            else:
+                # Face element with a list property (+ possibly extra
+                # scalars, e.g. texture coords): parse row by row.
+                out = []
+                for _ in range(count):
+                    for p in props:
+                        if p[0] == "list":
+                            cnt_dt = np.dtype("<" + _PLY_DTYPES[p[1]])
+                            idx_dt = np.dtype("<" + _PLY_DTYPES[p[2]])
+                            n = int(
+                                np.frombuffer(body, cnt_dt, 1, offset)[0]
+                            )
+                            offset += cnt_dt.itemsize
+                            vals = np.frombuffer(body, idx_dt, n, offset)
+                            offset += idx_dt.itemsize * n
+                            if p[3] in ("vertex_indices", "vertex_index"):
+                                out.append(vals.astype(np.int64))
+                        else:
+                            dt = np.dtype("<" + _PLY_DTYPES[p[1]])
+                            offset += dt.itemsize
+                if name == "face":
+                    faces = _triangulate(out)
+
+    assert verts is not None and faces is not None, f"PLY missing data: {path}"
+    return TriMesh(
+        vertices=verts.astype(np.float32),
+        faces=faces.astype(np.int32),
+        vertex_normals=None if normals is None else normals.astype(np.float32),
+        vertex_colors=None if colors is None else colors.astype(np.float32),
+    )
+
+
+def _extract_vertex_cols(arr, cols):
+    def get(names):
+        idx = [cols.index(n) for n in names if n in cols]
+        return arr[:, idx] if len(idx) == len(names) else None
+
+    verts = get(["x", "y", "z"])
+    normals = get(["nx", "ny", "nz"])
+    colors = get(["red", "green", "blue"])
+    if colors is not None and colors.max() > 1.0:
+        colors = colors / 255.0
+    return verts, normals, colors
+
+
+def _parse_ascii_faces(rows: list[str]) -> np.ndarray:
+    polys = []
+    for r in rows:
+        tok = r.split()
+        if not tok:
+            continue
+        n = int(tok[0])
+        polys.append(np.array(tok[1 : 1 + n], dtype=np.int64))
+    return _triangulate(polys)
+
+
+def _triangulate(polys: list[np.ndarray]) -> np.ndarray:
+    tris = []
+    for p in polys:
+        for k in range(1, len(p) - 1):
+            tris.append((p[0], p[k], p[k + 1]))
+    return np.asarray(tris, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# OBJ (+ texture baking to vertex colors)
+# ---------------------------------------------------------------------------
+
+def load_obj(path: str | Path, bake_texture: bool = True) -> TriMesh:
+    """Parse Wavefront OBJ. Texture (first map_Kd of the .mtl) is baked to
+    per-vertex colors — our rasterizer interpolates vertex attributes, which
+    at the reference's 240x320 render resolution is a good approximation of
+    full texture sampling for typical BOP/GSO assets."""
+    path = Path(path)
+    vs: list = []
+    vts: list = []
+    faces_v: list = []
+    faces_vt: list = []
+    mtl_file = None
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "v":
+                vs.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "vt":
+                vts.append([float(tok[1]), float(tok[2])])
+            elif tok[0] == "mtllib":
+                mtl_file = tok[1]
+            elif tok[0] == "f":
+                idxs = []
+                tidxs = []
+                for vert in tok[1:]:
+                    parts = vert.split("/")
+                    idxs.append(int(parts[0]))
+                    if len(parts) > 1 and parts[1]:
+                        tidxs.append(int(parts[1]))
+                for k in range(1, len(idxs) - 1):
+                    faces_v.append((idxs[0], idxs[k], idxs[k + 1]))
+                    if len(tidxs) == len(idxs):
+                        faces_vt.append((tidxs[0], tidxs[k], tidxs[k + 1]))
+
+    verts = np.asarray(vs, np.float64)
+    nv = len(verts)
+    faces = np.asarray(faces_v, np.int64)
+    faces = np.where(faces > 0, faces - 1, faces + nv)
+
+    colors = None
+    if bake_texture and mtl_file and vts and len(faces_vt) == len(faces_v):
+        tex = _load_mtl_texture(path.parent / mtl_file)
+        if tex is not None:
+            uvs = np.asarray(vts, np.float64)
+            fvt = np.asarray(faces_vt, np.int64)
+            fvt = np.where(fvt > 0, fvt - 1, fvt + len(uvs))
+            colors = _bake_vertex_colors(nv, faces, fvt, uvs, tex)
+
+    return TriMesh(
+        vertices=verts.astype(np.float32),
+        faces=faces.astype(np.int32),
+        vertex_colors=colors,
+    )
+
+
+def _load_mtl_texture(mtl_path: Path) -> np.ndarray | None:
+    if not mtl_path.exists():
+        return None
+    tex_file = None
+    for line in open(mtl_path, "r", errors="replace"):
+        tok = line.split()
+        if tok and tok[0].lower() == "map_kd":
+            tex_file = tok[-1]
+            break
+    if tex_file is None:
+        return None
+    tex_path = mtl_path.parent / tex_file
+    if not tex_path.exists():
+        return None
+    from PIL import Image
+
+    img = np.asarray(Image.open(tex_path).convert("RGB"), np.float32) / 255.0
+    return img
+
+
+def _bake_vertex_colors(nv, faces, faces_vt, uvs, tex) -> np.ndarray:
+    """Average the texture color of each vertex's texcoords over incident
+    face corners."""
+    H, W, _ = tex.shape
+    colors = np.zeros((nv, 3), np.float64)
+    counts = np.zeros((nv, 1), np.float64)
+    uv = uvs[faces_vt.reshape(-1)]  # [F*3, 2]
+    u = np.clip((uv[:, 0] % 1.0) * (W - 1), 0, W - 1).astype(np.int64)
+    v = np.clip(((1.0 - uv[:, 1]) % 1.0) * (H - 1), 0, H - 1).astype(np.int64)
+    texel = tex[v, u]
+    vidx = faces.reshape(-1)
+    np.add.at(colors, vidx, texel)
+    np.add.at(counts, vidx, 1.0)
+    return (colors / np.maximum(counts, 1.0)).astype(np.float32)
+
+
+def load_mesh(path: str | Path, **kw) -> TriMesh:
+    path = Path(path)
+    if path.suffix.lower() == ".ply":
+        return load_ply(path)
+    if path.suffix.lower() == ".obj":
+        return load_obj(path, **kw)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+# ---------------------------------------------------------------------------
+# Decimation (vertex clustering)
+# ---------------------------------------------------------------------------
+
+def simplify_vertex_clustering(mesh: TriMesh, target_faces: int) -> TriMesh:
+    """Reduce face count below `target_faces` via uniform-grid vertex
+    clustering (binary search on cell size). Silhouette-accurate enough for
+    240x320 render-and-compare; replaces nothing in the reference (Panda3D
+    rasterized full meshes) but bounds our static face budget."""
+    if mesh.n_faces <= target_faces:
+        return mesh
+    lo, hi = 1e-5, 1.0
+    ext = float(
+        np.linalg.norm(mesh.vertices.max(0) - mesh.vertices.min(0))
+    )
+    best = None
+    for _ in range(32):
+        cell = (lo + hi) / 2
+        m = _cluster_once(mesh, cell * ext)
+        if m.n_faces > target_faces:
+            lo = cell
+        else:
+            best = m
+            hi = cell
+    return best if best is not None else _cluster_once(mesh, hi * ext)
+
+
+def _cluster_once(mesh: TriMesh, cell: float) -> TriMesh:
+    v = mesh.vertices
+    keys = np.floor((v - v.min(0)) / max(cell, 1e-12)).astype(np.int64)
+    flat = keys[:, 0] * 73856093 ^ keys[:, 1] * 19349663 ^ keys[:, 2] * 83492791
+    uniq, inv = np.unique(flat, return_inverse=True)
+    n_new = len(uniq)
+    pos = np.zeros((n_new, 3), np.float64)
+    cnt = np.zeros((n_new, 1), np.float64)
+    np.add.at(pos, inv, v)
+    np.add.at(cnt, inv, 1.0)
+    pos = (pos / cnt).astype(np.float32)
+
+    new_faces = inv[mesh.faces]
+    keep = (
+        (new_faces[:, 0] != new_faces[:, 1])
+        & (new_faces[:, 1] != new_faces[:, 2])
+        & (new_faces[:, 0] != new_faces[:, 2])
+    )
+    new_faces = new_faces[keep].astype(np.int32)
+
+    colors = None
+    if mesh.vertex_colors is not None:
+        c = np.zeros((n_new, 3), np.float64)
+        np.add.at(c, inv, mesh.vertex_colors)
+        colors = (c / cnt).astype(np.float32)
+    out = TriMesh(vertices=pos, faces=new_faces, vertex_colors=colors)
+    return out.with_computed_normals()
+
+
+# ---------------------------------------------------------------------------
+# Procedural meshes (tests & visual debugging; analog of the reference's
+# panda3d_renderer/geometry.py debug primitives)
+# ---------------------------------------------------------------------------
+
+def make_cube(half_extent: float = 0.05, color=(0.8, 0.2, 0.2)) -> TriMesh:
+    h = half_extent
+    verts = np.array(
+        [
+            [sx * h, sy * h, sz * h]
+            for sx in (-1, 1)
+            for sy in (-1, 1)
+            for sz in (-1, 1)
+        ],
+        np.float32,
+    )
+    # 12 triangles, outward-facing CCW (right-handed).
+    faces = np.array(
+        [
+            [0, 1, 3], [0, 3, 2],  # -x
+            [4, 6, 7], [4, 7, 5],  # +x
+            [0, 4, 5], [0, 5, 1],  # -y
+            [2, 3, 7], [2, 7, 6],  # +y
+            [0, 2, 6], [0, 6, 4],  # -z
+            [1, 5, 7], [1, 7, 3],  # +z
+        ],
+        np.int32,
+    )
+    colors = np.tile(np.asarray(color, np.float32), (8, 1))
+    return TriMesh(verts, faces, vertex_colors=colors).with_computed_normals()
+
+
+def make_uv_sphere(
+    radius: float = 0.05, n_lat: int = 16, n_lon: int = 24, color=(0.2, 0.4, 0.8)
+) -> TriMesh:
+    lats = np.linspace(0, np.pi, n_lat + 1)
+    lons = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    verts = []
+    for th in lats:
+        for ph in lons:
+            verts.append(
+                [
+                    radius * np.sin(th) * np.cos(ph),
+                    radius * np.sin(th) * np.sin(ph),
+                    radius * np.cos(th),
+                ]
+            )
+    verts = np.asarray(verts, np.float32)
+    faces = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    colors = np.tile(np.asarray(color, np.float32), (len(verts), 1))
+    return TriMesh(
+        verts, np.asarray(faces, np.int32), vertex_colors=colors
+    ).with_computed_normals()

@@ -1,0 +1,240 @@
+"""Object registry + padded on-device mesh database.
+
+TPU-native re-design of the reference's `RigidObject(Dataset)` and
+`MeshDataBase`/`BatchedMeshes` (megapose6d:
+src/megapose/datasets/object_dataset.py:35-179,
+src/megapose/lib3d/rigid_mesh_database.py:57-200). The reference pads only
+loss *points* and symmetries onto the GPU; rendering stays in Panda3D's
+scene graph. Here the renderer is an XLA program, so vertices, faces,
+normals and colors are all padded to static shapes and live in HBM — one
+gather (`select`) assembles the per-hypothesis mesh batch on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import symmetries as sym_ops
+from .io import TriMesh, load_mesh, simplify_vertex_clustering
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class RigidObject:
+    """One object asset (object_dataset.py:35-138)."""
+
+    label: str
+    mesh_path: str | Path | None = None
+    mesh: TriMesh | None = None  # pre-loaded alternative to mesh_path
+    mesh_units: str = "m"  # "m" | "mm"
+    scaling_factor: float = 1.0
+    symmetries_discrete: list = dataclasses.field(default_factory=list)
+    symmetries_continuous: list = dataclasses.field(default_factory=list)
+    ypr_offset_deg: tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @property
+    def scale(self) -> float:
+        return {"m": 1.0, "mm": 0.001}[self.mesh_units] * self.scaling_factor
+
+    def load(self) -> TriMesh:
+        mesh = self.mesh
+        if mesh is None:
+            assert self.mesh_path is not None, self.label
+            mesh = load_mesh(self.mesh_path)
+        mesh = mesh.scaled(self.scale).with_computed_normals()
+        if mesh.vertex_colors is None:
+            mesh = dataclasses.replace(
+                mesh,
+                vertex_colors=np.full_like(mesh.vertices, 0.5),
+            )
+        return mesh
+
+
+class RigidObjectDataset:
+    """Label-indexed collection of objects (object_dataset.py:140-179)."""
+
+    def __init__(self, objects: Sequence[RigidObject]):
+        self.objects = list(objects)
+        self._by_label = {o.label: o for o in self.objects}
+        assert len(self._by_label) == len(self.objects), "duplicate labels"
+
+    def __len__(self) -> int:
+        return len(self.objects)
+
+    def __getitem__(self, i: int) -> RigidObject:
+        return self.objects[i]
+
+    @property
+    def labels(self) -> list[str]:
+        return [o.label for o in self.objects]
+
+    def get_object_by_label(self, label: str) -> RigidObject:
+        return self._by_label[label]
+
+    def filter_objects(self, keep_labels: set[str]) -> "RigidObjectDataset":
+        return RigidObjectDataset(
+            [o for o in self.objects if o.label in keep_labels]
+        )
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class BatchedMeshes:
+    """Padded per-label mesh arrays on device; a registered pytree.
+
+    Axis 0 is the label axis (L). Select per-hypothesis meshes with
+    `select(idx)` (analog of `BatchedMeshes.select`,
+    rigid_mesh_database.py:133-155). Padding conventions:
+      - vertices/normals/colors padded with the last valid vertex,
+      - faces padded with (0, 0, 0) — degenerate, rasterizes to nothing,
+      - symmetries padded with identity + `sym_valid` mask,
+      - points padded by cyclic repetition (always "valid" for means).
+    """
+
+    vertices: Array  # [L, V, 3] f32
+    normals: Array  # [L, V, 3] f32
+    colors: Array  # [L, V, 3] f32
+    faces: Array  # [L, F, 3] i32
+    face_valid: Array  # [L, F] bool
+    points: Array  # [L, P, 3] f32 (loss/extent point sets)
+    symmetries: Array  # [L, S, 4, 4] f32
+    sym_valid: Array  # [L, S] bool
+    diameters: Array  # [L] f32
+    labels: tuple[str, ...] = struct.field(pytree_node=False)
+
+    @property
+    def n_labels(self) -> int:
+        return self.vertices.shape[0]
+
+    def label_to_index(self, labels: Sequence[str]) -> jnp.ndarray:
+        table = {l: i for i, l in enumerate(self.labels)}
+        return jnp.asarray([table[l] for l in labels], jnp.int32)
+
+    def select(self, idx: Array) -> "BatchedMeshes":
+        """Gather a hypothesis batch `[B, ...]` of meshes by label index."""
+        take = lambda a: jnp.take(a, idx, axis=0)
+        return BatchedMeshes(
+            vertices=take(self.vertices),
+            normals=take(self.normals),
+            colors=take(self.colors),
+            faces=take(self.faces),
+            face_valid=take(self.face_valid),
+            points=take(self.points),
+            symmetries=take(self.symmetries),
+            sym_valid=take(self.sym_valid),
+            diameters=take(self.diameters),
+            labels=self.labels,
+        )
+
+
+class MeshDataBase:
+    """Host-side mesh DB; `batched()` produces the device `BatchedMeshes`.
+
+    Analog of `MeshDataBase.from_object_ds(...).batched(...)`
+    (rigid_mesh_database.py:57-130), extended to carry faces/normals/colors
+    for the on-device rasterizer.
+    """
+
+    def __init__(
+        self,
+        objects: RigidObjectDataset,
+        max_faces: int = 4096,
+        n_points: int = 2000,
+        n_sym: int = 32,
+    ):
+        self.objects = objects
+        self.max_faces = max_faces
+        self.n_points = n_points
+        self.n_sym = n_sym
+        self.meshes: dict[str, TriMesh] = {}
+        self._sym_poses: dict[str, np.ndarray] = {}
+        for obj in objects.objects:
+            mesh = obj.load()
+            if mesh.n_faces > max_faces:
+                mesh = simplify_vertex_clustering(mesh, max_faces)
+            self.meshes[obj.label] = mesh
+            # Symmetries act on the *scaled* (meters) mesh; units already
+            # applied by obj.load(), so scale=1 here for discrete offsets
+            # given in the object's native units times obj.scale.
+            self._sym_poses[obj.label] = sym_ops.make_symmetries_poses(
+                symmetries_discrete=obj.symmetries_discrete,
+                symmetries_continuous=obj.symmetries_continuous,
+                n_symmetries_continuous=8,
+                scale=obj.scale,
+            )
+
+    @classmethod
+    def from_object_ds(cls, ds: RigidObjectDataset, **kw) -> "MeshDataBase":
+        return cls(ds, **kw)
+
+    def batched(self, align: int = 128) -> BatchedMeshes:
+        labels = self.objects.labels
+        L = len(labels)
+        V = _round_up(max(m.n_vertices for m in self.meshes.values()), align)
+        F = _round_up(
+            min(
+                self.max_faces,
+                max(m.n_faces for m in self.meshes.values()),
+            ),
+            align,
+        )
+        P = self.n_points
+        S = self.n_sym
+
+        verts = np.zeros((L, V, 3), np.float32)
+        norms = np.zeros((L, V, 3), np.float32)
+        cols = np.zeros((L, V, 3), np.float32)
+        faces = np.zeros((L, F, 3), np.int32)
+        fvalid = np.zeros((L, F), bool)
+        points = np.zeros((L, P, 3), np.float32)
+        syms = np.tile(np.eye(4, dtype=np.float32), (L, S, 1, 1))
+        svalid = np.zeros((L, S), bool)
+        diam = np.zeros((L,), np.float32)
+
+        rng = np.random.RandomState(0)
+        for i, label in enumerate(labels):
+            m = self.meshes[label]
+            nv, nf = m.n_vertices, m.n_faces
+            verts[i, :nv] = m.vertices
+            verts[i, nv:] = m.vertices[-1]  # pad with last vertex
+            norms[i, :nv] = m.vertex_normals
+            norms[i, nv:] = m.vertex_normals[-1]
+            cols[i, :nv] = m.vertex_colors
+            cols[i, nv:] = m.vertex_colors[-1]
+            faces[i, :nf] = m.faces
+            fvalid[i, :nf] = True
+            # Loss points: cyclic repetition of vertices (reference pads
+            # with repeats too, pad_stack_tensors rigid_mesh_database.py:172).
+            if nv >= P:
+                idx = rng.choice(nv, P, replace=False)
+            else:
+                idx = np.arange(P) % nv
+            points[i] = m.vertices[idx]
+            sp, sv = sym_ops.pad_symmetries(self._sym_poses[label], S)
+            syms[i] = sp.astype(np.float32)
+            svalid[i] = sv
+            diam[i] = m.diameter()
+
+        return BatchedMeshes(
+            vertices=jnp.asarray(verts),
+            normals=jnp.asarray(norms),
+            colors=jnp.asarray(cols),
+            faces=jnp.asarray(faces),
+            face_valid=jnp.asarray(fvalid),
+            points=jnp.asarray(points),
+            symmetries=jnp.asarray(syms),
+            sym_valid=jnp.asarray(svalid),
+            diameters=jnp.asarray(diam),
+            labels=tuple(labels),
+        )
