@@ -378,30 +378,35 @@ def _cluster_once(mesh: TriMesh, cell: float) -> TriMesh:
 # ---------------------------------------------------------------------------
 
 def make_cube(half_extent: float = 0.05, color=(0.8, 0.2, 0.2)) -> TriMesh:
+    """Flat-shaded cube: 24 vertices (4 per face) so vertex normals are the
+    true face normals, not corner averages."""
     h = half_extent
-    verts = np.array(
-        [
-            [sx * h, sy * h, sz * h]
-            for sx in (-1, 1)
-            for sy in (-1, 1)
-            for sz in (-1, 1)
-        ],
-        np.float32,
+    # (normal axis, sign) for the 6 faces.
+    verts = []
+    normals = []
+    faces = []
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            n = np.zeros(3)
+            n[axis] = sign
+            u = np.zeros(3)
+            u[(axis + 1) % 3] = 1.0
+            v = np.cross(n, u)
+            base = len(verts)
+            for su, sv in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+                verts.append(n * h + u * su * h + v * sv * h)
+                normals.append(n)
+            faces.append([base, base + 1, base + 2])
+            faces.append([base, base + 2, base + 3])
+    verts = np.asarray(verts, np.float32)
+    normals = np.asarray(normals, np.float32)
+    colors = np.tile(np.asarray(color, np.float32), (len(verts), 1))
+    return TriMesh(
+        verts,
+        np.asarray(faces, np.int32),
+        vertex_normals=normals,
+        vertex_colors=colors,
     )
-    # 12 triangles, outward-facing CCW (right-handed).
-    faces = np.array(
-        [
-            [0, 1, 3], [0, 3, 2],  # -x
-            [4, 6, 7], [4, 7, 5],  # +x
-            [0, 4, 5], [0, 5, 1],  # -y
-            [2, 3, 7], [2, 7, 6],  # +y
-            [0, 2, 6], [0, 6, 4],  # -z
-            [1, 5, 7], [1, 7, 3],  # +z
-        ],
-        np.int32,
-    )
-    colors = np.tile(np.asarray(color, np.float32), (8, 1))
-    return TriMesh(verts, faces, vertex_colors=colors).with_computed_normals()
 
 
 def make_uv_sphere(

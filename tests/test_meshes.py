@@ -16,7 +16,7 @@ from megapose6d_tpu.ops.symmetries import ContinuousSymmetry
 
 def test_cube_geometry():
     cube = make_cube(0.05)
-    assert cube.n_vertices == 8 and cube.n_faces == 12
+    assert cube.n_vertices == 24 and cube.n_faces == 12
     assert np.allclose(np.abs(cube.vertices).max(), 0.05)
     # Outward normals: vertex normal dot position > 0 for a centered cube.
     dots = (cube.vertex_normals * cube.vertices).sum(-1)
