@@ -1,0 +1,176 @@
+"""CNN backbones (flax.linen, NHWC, bf16-compute friendly).
+
+TPU-native re-design of the reference's backbones (megapose6d:
+src/megapose/models/torchvision_resnet.py — ResNet-34 with configurable
+input channels and a 512-d feature head; src/megapose/models/wide_resnet.py
+— pre-activation WideResNet-18/34). Deviations, deliberate for TPU:
+  - NHWC layout (XLA's native conv layout on TPU).
+  - GroupNorm instead of BatchNorm: stateless (scan/pjit-friendly, no
+    cross-replica sync needed — the reference needs SyncBN for its RGB-D
+    configs, train_megapose.py:243-244).
+  - Compute dtype configurable (bfloat16 on the MXU), params float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def _norm(groups: int, dtype: Dtype) -> Callable:
+    return lambda: nn.GroupNorm(
+        num_groups=groups, dtype=dtype, param_dtype=jnp.float32
+    )
+
+
+class BasicBlock(nn.Module):
+    """torchvision-style BasicBlock (2x 3x3 conv + skip)."""
+
+    features: int
+    strides: int = 1
+    norm_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        norm = _norm(self.norm_groups, self.dtype)
+        residual = x
+        y = nn.Conv(
+            self.features, (3, 3), strides=self.strides, padding=1,
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(
+            self.features, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(y)
+        y = norm()(y)
+        if residual.shape[-1] != self.features or self.strides != 1:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=self.strides, use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32,
+            )(residual)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet-18/34 trunk + linear feature head.
+
+    Output: `[B, n_features]` (the reference's backbone contract —
+    `backbone.n_features`, pose_rigid.py:116-118; heads attach on top).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)  # ResNet-34
+    width: int = 64
+    n_features: int = 512
+    norm_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        norm = _norm(self.norm_groups, self.dtype)
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.width, (7, 7), strides=2, padding=3, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        x = nn.relu(norm()(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, n_blocks in enumerate(self.stage_sizes):
+            features = self.width * (2**i)
+            for b in range(n_blocks):
+                strides = 2 if (i > 0 and b == 0) else 1
+                x = BasicBlock(
+                    features, strides, self.norm_groups, self.dtype
+                )(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = nn.Dense(
+            self.n_features, dtype=self.dtype, param_dtype=jnp.float32
+        )(x)
+        return x.astype(jnp.float32)
+
+
+class WideResNetBlock(nn.Module):
+    """Pre-activation wide block (wide_resnet.py:59-87)."""
+
+    features: int
+    strides: int = 1
+    norm_groups: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        norm = _norm(self.norm_groups, self.dtype)
+        y = nn.relu(norm()(x))
+        shortcut = x
+        if x.shape[-1] != self.features or self.strides != 1:
+            shortcut = nn.Conv(
+                self.features, (1, 1), strides=self.strides, use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32,
+            )(y)
+        y = nn.Conv(
+            self.features, (3, 3), strides=self.strides, padding=1,
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+        )(y)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(
+            self.features, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(y)
+        return y + shortcut
+
+
+class WideResNet(nn.Module):
+    """Pre-act WideResNet-18/34 (wide_resnet.py:90-133), widen factor 2."""
+
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)  # WRN-18
+    width: int = 64
+    widen: int = 2
+    n_features: int = 512
+    norm_groups: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.width, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        for i, n_blocks in enumerate(self.stage_sizes):
+            features = self.width * self.widen * (2**i)
+            for b in range(n_blocks):
+                strides = 2 if b == 0 else 1
+                x = WideResNetBlock(
+                    features, strides, self.norm_groups, self.dtype
+                )(x)
+        x = nn.relu(
+            nn.GroupNorm(
+                num_groups=self.norm_groups, dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        )
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dense(
+            self.n_features, dtype=self.dtype, param_dtype=jnp.float32
+        )(x)
+        return x.astype(jnp.float32)
+
+
+def make_backbone(name: str, n_features: int = 512, dtype=jnp.float32):
+    """Backbone registry (training/pose_models_cfg.py:check_update_config
+    name scheme: resnet34 / resnet18 / wide_resnet18 / wide_resnet34)."""
+    if name == "resnet34":
+        return ResNet((3, 4, 6, 3), n_features=n_features, dtype=dtype)
+    if name == "resnet18":
+        return ResNet((2, 2, 2, 2), n_features=n_features, dtype=dtype)
+    if name == "wide_resnet18":
+        return WideResNet((2, 2, 2, 2), n_features=n_features, dtype=dtype)
+    if name == "wide_resnet34":
+        return WideResNet((3, 4, 6, 3), n_features=n_features, dtype=dtype)
+    raise ValueError(f"unknown backbone: {name}")

@@ -68,7 +68,7 @@ def crop_images(
     output_size: tuple[int, int],
     depth_dim: int | None = None,
 ) -> Array:
-    """Bilinear crop+resize of channel-first images.
+    """Bilinear crop+resize of NHWC images.
 
     XLA-native analog of torchvision `roi_align` as used in
     cropping.py:113-144 (one box per image, aligned sampling). For depth
@@ -76,14 +76,14 @@ def crop_images(
     zeroed, matching the reference's depth-validity masking.
 
     Args:
-      images: `[B, C, H, W]`.
+      images: `[B, H, W, C]`.
       boxes: `[B, 4]` (x1, y1, x2, y2) in pixel coordinates.
       output_size: (out_h, out_w).
       depth_dim: channel index holding depth, or None.
     Returns:
-      `[B, C, out_h, out_w]`.
+      `[B, out_h, out_w, C]`.
     """
-    B, C, H, W = images.shape
+    B, H, W, C = images.shape
     out_h, out_w = output_size
 
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
@@ -97,7 +97,7 @@ def crop_images(
     sy = y1[:, None] + ii[None, :] * bh[:, None] - 0.5  # [B, out_h]
 
     def sample_one(img, sx_b, sy_b):
-        # img: [C, H, W]; returns [C, out_h, out_w]
+        # img: [H, W, C]; returns [out_h, out_w, C]
         x0 = jnp.floor(sx_b)
         y0 = jnp.floor(sy_b)
         wx = sx_b - x0  # [out_w]
@@ -109,12 +109,12 @@ def crop_images(
         # Out-of-image samples read the clamped border (roi_align zeroes
         # them; border-clamp is friendlier for the CNN and only differs for
         # boxes leaving the image).
-        g00 = img[:, y0i[:, None], x0i[None, :]]
-        g01 = img[:, y0i[:, None], x1i[None, :]]
-        g10 = img[:, y1i[:, None], x0i[None, :]]
-        g11 = img[:, y1i[:, None], x1i[None, :]]
-        wx_ = wx[None, None, :]
-        wy_ = wy[None, :, None]
+        g00 = img[y0i[:, None], x0i[None, :]]
+        g01 = img[y0i[:, None], x1i[None, :]]
+        g10 = img[y1i[:, None], x0i[None, :]]
+        g11 = img[y1i[:, None], x1i[None, :]]
+        wx_ = wx[None, :, None]
+        wy_ = wy[:, None, None]
         top = g00 * (1 - wx_) + g01 * wx_
         bot = g10 * (1 - wx_) + g11 * wx_
         return top * (1 - wy_) + bot * wy_
@@ -122,10 +122,12 @@ def crop_images(
     crops = jax.vmap(sample_one)(images, sx, sy)
 
     if depth_dim is not None:
-        valid = (images[:, depth_dim : depth_dim + 1] > 0).astype(images.dtype)
+        valid = (
+            images[..., depth_dim : depth_dim + 1] > 0
+        ).astype(images.dtype)
         valid_crop = jax.vmap(sample_one)(valid, sx, sy)
         mask = (valid_crop >= 0.99).astype(images.dtype)
-        crops = crops.at[:, depth_dim : depth_dim + 1].multiply(mask)
+        crops = crops.at[..., depth_dim : depth_dim + 1].multiply(mask)
     return crops
 
 
@@ -144,9 +146,9 @@ def deepim_crops_robust(
 ) -> tuple[Array, Array | None]:
     """Crop observations around the projected hypothesis (cropping.py:84-110).
 
-    Returns (boxes `[B, 4]`, crops or None).
+    `images` is NHWC. Returns (boxes `[B, 4]`, crops or None).
     """
-    h, w = images.shape[-2], images.shape[-1]
+    h, w = images.shape[1], images.shape[2]
     uv = project_points_robust(O_vertices, K, TCO_pred)
     if points_valid is not None:
         rend_boxes = masked_boxes_from_uv(uv, points_valid)

@@ -114,9 +114,13 @@ def pose_update_with_reference_point(
     Returns:
       `[B, 4, 4]` updated pose.
     """
+    # Guard against degenerate depths (untrained heads emit vz ~ 0; the
+    # reference relies on training to keep z sane, we additionally clamp —
+    # same spirit as project_points_robust's z_min).
     zsrc = tCR[..., 2:3]
+    zsrc = jnp.where(jnp.abs(zsrc) < 1e-4, 1e-4, zsrc)
     vz = vxvyvz[..., 2:3]
-    ztgt = vz * zsrc
+    ztgt = jnp.clip(vz * zsrc, 1e-4, 1e4)
 
     vxvy = vxvyvz[..., 0:2]
     fxfy = jnp.stack([K[..., 0, 0], K[..., 1, 1]], axis=-1)

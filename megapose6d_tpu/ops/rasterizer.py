@@ -237,30 +237,37 @@ def render_meshes(
     resolution: tuple[int, int],
     z_near: float = 0.01,
     chunk: int = 64,
-    light_ambient: float = 0.1,
-    light_point: float = 0.4,
+    light_ambient: float | Array = 0.1,
+    light_point: float | Array = 0.4,
 ) -> RenderOutput:
     """Render a batch of (mesh, pose) hypotheses. All args static-shaped.
+
+    `light_ambient`/`light_point` may be scalars or per-batch `[B]` arrays
+    (per-sample randomized ambient light is a training augmentation,
+    pose_rigid.py:render_images_multiview:384-396).
 
     Non-finite poses render empty (the reference zero-fills those too,
     panda3d_batch_renderer.py:109-135).
     """
+    B = TCO.shape[0]
     finite = jnp.isfinite(TCO).all(axis=(-1, -2))  # [B]
     TCO = jnp.where(finite[..., None, None], TCO, jnp.eye(4, dtype=TCO.dtype))
     screen = project_to_screen(vertices, TCO, K)
     face_valid = face_valid & finite[..., None]
+    amb = jnp.broadcast_to(jnp.asarray(light_ambient, screen.dtype), (B,))
+    pnt = jnp.broadcast_to(jnp.asarray(light_point, screen.dtype), (B,))
 
-    def one(screen_b, faces_b, fvalid_b, n_b, c_b, R_b):
+    def one(screen_b, faces_b, fvalid_b, n_b, c_b, R_b, amb_b, pnt_b):
         face_id, _ = _visibility_single(
             screen_b, faces_b, fvalid_b, resolution, chunk, z_near
         )
         return _shade_single(
             screen_b, n_b, c_b, faces_b, R_b, face_id, resolution,
-            light_ambient, light_point,
+            amb_b, pnt_b,
         )
 
     rgb, nrm, depth, mask = jax.vmap(one)(
-        screen, faces, face_valid, normals, colors, TCO[..., :3, :3]
+        screen, faces, face_valid, normals, colors, TCO[..., :3, :3], amb, pnt
     )
     return RenderOutput(rgb=rgb, normals=nrm, depth=depth, mask=mask)
 

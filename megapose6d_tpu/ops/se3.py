@@ -78,9 +78,10 @@ def rotmat_from_ortho6d(poses: Array) -> Array:
     """
     x_raw = poses[..., 0:3]
     y_raw = poses[..., 3:6]
-    x = x_raw / jnp.linalg.norm(x_raw, axis=-1, keepdims=True)
+    eps = jnp.asarray(1e-12, poses.dtype)
+    x = x_raw / jnp.maximum(jnp.linalg.norm(x_raw, axis=-1, keepdims=True), eps)
     z = jnp.cross(x, y_raw)
-    z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), eps)
     y = jnp.cross(z, x)
     return jnp.stack([x, y, z], axis=-1)
 

@@ -5,28 +5,28 @@ from megapose6d_tpu.ops import cropping
 
 
 def test_crop_identity(rng):
-    img = jnp.asarray(rng.rand(2, 3, 16, 24).astype(np.float32))
+    img = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
     boxes = jnp.asarray([[0.0, 0.0, 24.0, 16.0]] * 2)
     out = cropping.crop_images(img, boxes, (16, 24))
     np.testing.assert_allclose(out, img, atol=1e-5)
 
 
 def test_crop_upsample_constant(rng):
-    img = jnp.ones((1, 3, 8, 8), jnp.float32) * 0.7
+    img = jnp.ones((1, 8, 8, 3), jnp.float32) * 0.7
     boxes = jnp.asarray([[2.0, 2.0, 6.0, 6.0]])
     out = cropping.crop_images(img, boxes, (16, 16))
     np.testing.assert_allclose(out, 0.7, atol=1e-6)
 
 
 def test_crop_depth_masking():
-    img = jnp.ones((1, 4, 8, 8), jnp.float32)
-    img = img.at[0, 3, :, :4].set(0.0)  # left half depth invalid
+    img = jnp.ones((1, 8, 8, 4), jnp.float32)
+    img = img.at[0, :, :4, 3].set(0.0)  # left half depth invalid
     boxes = jnp.asarray([[0.0, 0.0, 8.0, 8.0]])
     out = np.asarray(cropping.crop_images(img, boxes, (8, 8), depth_dim=3))
-    assert (out[0, 3, :, :4] == 0).all()
-    assert (out[0, 3, :, 5:] == 1).all()
+    assert (out[0, :, :4, 3] == 0).all()
+    assert (out[0, :, 5:, 3] == 1).all()
     # RGB channels untouched by masking.
-    assert (out[0, :3] == 1).all()
+    assert (out[0, ..., :3] == 1).all()
 
 
 def test_deepim_boxes_aspect_and_containment():
