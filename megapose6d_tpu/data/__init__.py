@@ -1,0 +1,10 @@
+"""Data structures and dataset loaders."""
+
+from .tensor_collection import PandasTensorCollection, concatenate  # noqa: F401
+from .types import (  # noqa: F401
+    CameraData,
+    ObjectData,
+    ObservationTensor,
+    object_data_from_json_path,
+    object_data_to_json_path,
+)

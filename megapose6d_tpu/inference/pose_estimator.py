@@ -1,0 +1,399 @@
+"""PoseEstimator — the public inference pipeline.
+
+TPU-native re-design of the reference's `PoseEstimator`
+(megapose6d: src/megapose/inference/pose_estimator.py:52-667). Pipeline
+parity (`run_inference_pipeline`, pose_estimator.py:510-641):
+
+  detections -> coarse scoring of M SO(3)-grid hypotheses per detection
+  -> top-K -> K x N-iteration refiner -> coarse re-scoring -> top-1
+  [-> optional depth refinement]
+
+Architectural differences, all deliberate TPU choices:
+  - The reference expands hypotheses into pandas rows and micro-batches
+    through throwaway DataLoaders (pose_estimator.py:140-149, 348-377);
+    here hypotheses are a static `[D, M]` array axis, detections are padded
+    to `max_detections`, and the whole coarse+refine+rescore pipeline is a
+    handful of jitted XLA programs with `lax.map` chunking (bsz knobs kept).
+  - top-K via `jax.lax.top_k` instead of pandas sort/groupby/head
+    (filter_pose_estimates, pose_estimator.py:643-667).
+  - The refiner loop is `lax.scan`; renders never leave the device.
+  - pandas appears only at the API edge (DetectionsType in,
+    PoseEstimatesType out), keeping reference-compatible columns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..data.tensor_collection import PandasTensorCollection
+from ..meshes.mesh_db import BatchedMeshes
+from ..models.pose_predictor import PosePredictor
+from ..ops import so3_grid
+from ..ops.pose_init import tco_init_from_boxes_autodepth_with_R
+from .types import InferenceConfig
+
+Array = jax.Array
+
+
+def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return np.take(x, range(n), axis=axis)
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, mode="edge")
+
+
+class PoseEstimator:
+    """Coarse + refiner orchestration over one observation.
+
+    Args:
+      coarse_model / refiner_model: `PosePredictor` modules.
+      coarse_params / refiner_params: their variables.
+      mesh_db: padded `BatchedMeshes` covering all labels in play.
+      cfg: `InferenceConfig`.
+    """
+
+    def __init__(
+        self,
+        coarse_model: PosePredictor,
+        coarse_params: Any,
+        refiner_model: PosePredictor,
+        refiner_params: Any,
+        mesh_db: BatchedMeshes,
+        cfg: InferenceConfig = InferenceConfig(),
+    ):
+        self.coarse_model = coarse_model
+        self.coarse_params = coarse_params
+        self.refiner_model = refiner_model
+        self.refiner_params = refiner_params
+        self.mesh_db = mesh_db
+        self.cfg = cfg
+        self.so3_grid = so3_grid.make_so3_grid(cfg.SO3_grid_size)
+        self.timing_: dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # jitted cores
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _coarse_logits_all(
+        self,
+        chunk: int,
+        coarse_params,
+        images: Array,  # [1, H, W, C]
+        K: Array,  # [1, 3, 3]
+        boxes: Array,  # [D, 4]
+        mesh_idx: Array,  # [D] i32
+        grid: Array,  # [M, 3, 3]
+    ) -> tuple[Array, Array]:
+        """Score every (detection, grid-rotation) hypothesis.
+
+        Returns (logits [D, M], TCO_init [D, M, 4, 4]).
+        Analog of forward_coarse_model (pose_estimator.py:324-483).
+        """
+        D = boxes.shape[0]
+        M = grid.shape[0]
+        meshes_d = self.mesh_db.select(mesh_idx)  # [D, ...]
+        points = meshes_d.points  # [D, P, 3]
+
+        # Pose init for all D x M (TCO_init_from_boxes_autodepth_with_R,
+        # cosypose_ops.py:169-218).
+        def init_d(box, pts, R_all):
+            return jax.vmap(
+                lambda R: tco_init_from_boxes_autodepth_with_R(
+                    box[None], pts[None], K, R[None]
+                )[0]
+            )(R_all)
+
+        TCO_init = jax.vmap(lambda b, p: init_d(b, p, grid))(
+            boxes, points
+        )  # [D, M, 4, 4]
+
+        flat_TCO = TCO_init.reshape(D * M, 4, 4)
+        flat_idx = jnp.repeat(mesh_idx, M, axis=0)
+        n = D * M
+        n_chunks = (n + chunk - 1) // chunk
+        n_pad = n_chunks * chunk
+        flat_TCO = jnp.concatenate(
+            [flat_TCO, jnp.tile(jnp.eye(4, dtype=flat_TCO.dtype), (n_pad - n, 1, 1))]
+        )
+        flat_idx = jnp.concatenate(
+            [flat_idx, jnp.zeros((n_pad - n,), flat_idx.dtype)]
+        )
+
+        def score_chunk(args):
+            TCO_c, idx_c = args
+            meshes_c = self.mesh_db.select(idx_c)
+            imgs = jnp.broadcast_to(
+                images, (chunk,) + images.shape[1:]
+            )
+            K_c = jnp.broadcast_to(K, (chunk, 3, 3))
+            out = self.coarse_model.apply(
+                coarse_params,
+                imgs,
+                K_c,
+                TCO_c,
+                meshes_c,
+                method=PosePredictor.score_views,
+            )
+            return out["logits"][:, 0]
+
+        logits = jax.lax.map(
+            score_chunk,
+            (
+                flat_TCO.reshape(n_chunks, chunk, 4, 4),
+                flat_idx.reshape(n_chunks, chunk),
+            ),
+        )
+        return logits.reshape(n_pad)[:n].reshape(D, M), TCO_init
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+    def _refine(
+        self,
+        chunk: int,
+        n_iterations: int,
+        refiner_params,
+        images: Array,  # [1, H, W, C]
+        K: Array,  # [1, 3, 3]
+        TCO: Array,  # [N, 4, 4]
+        mesh_idx: Array,  # [N]
+    ) -> tuple[Array, Array]:
+        """Run the scan-refiner on N hypotheses.
+
+        Returns (TCO_refined [N, 4, 4], trajectory [n_iter, N, 4, 4]).
+        Analog of forward_refiner (pose_estimator.py:101-215).
+        """
+        N = TCO.shape[0]
+        n_chunks = (N + chunk - 1) // chunk
+        n_pad = n_chunks * chunk
+        TCO_p = jnp.concatenate(
+            [TCO, jnp.tile(jnp.eye(4, dtype=TCO.dtype), (n_pad - N, 1, 1))]
+        )
+        idx_p = jnp.concatenate(
+            [mesh_idx, jnp.zeros((n_pad - N,), mesh_idx.dtype)]
+        )
+
+        def refine_chunk(args):
+            TCO_c, idx_c = args
+            meshes_c = self.mesh_db.select(idx_c)
+            imgs = jnp.broadcast_to(images, (chunk,) + images.shape[1:])
+            K_c = jnp.broadcast_to(K, (chunk, 3, 3))
+
+            def body(T, _):
+                out = self.refiner_model.apply(
+                    refiner_params,
+                    imgs,
+                    K_c,
+                    T,
+                    meshes_c,
+                    method=PosePredictor.refine_step,
+                )
+                return out["TCO_output"], out["TCO_output"]
+
+            T_final, traj = jax.lax.scan(body, TCO_c, None, length=n_iterations)
+            return T_final, traj
+
+        T_final, traj = jax.lax.map(
+            refine_chunk,
+            (
+                TCO_p.reshape(n_chunks, chunk, 4, 4),
+                idx_p.reshape(n_chunks, chunk),
+            ),
+        )
+        T_final = T_final.reshape(n_pad, 4, 4)[:N]
+        traj = jnp.moveaxis(traj, 1, 0).reshape(n_iterations, n_pad, 4, 4)[
+            :, :N
+        ]
+        return T_final, traj
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _rescore(
+        self,
+        chunk: int,
+        coarse_params,
+        images: Array,
+        K: Array,
+        TCO: Array,  # [N, 4, 4]
+        mesh_idx: Array,
+    ) -> Array:
+        """Coarse logits of given poses (forward_scoring_model,
+        pose_estimator.py:217-322). Returns [N]."""
+        N = TCO.shape[0]
+        n_chunks = (N + chunk - 1) // chunk
+        n_pad = n_chunks * chunk
+        TCO_p = jnp.concatenate(
+            [TCO, jnp.tile(jnp.eye(4, dtype=TCO.dtype), (n_pad - N, 1, 1))]
+        )
+        idx_p = jnp.concatenate(
+            [mesh_idx, jnp.zeros((n_pad - N,), mesh_idx.dtype)]
+        )
+
+        def score_chunk(args):
+            TCO_c, idx_c = args
+            meshes_c = self.mesh_db.select(idx_c)
+            imgs = jnp.broadcast_to(images, (chunk,) + images.shape[1:])
+            K_c = jnp.broadcast_to(K, (chunk, 3, 3))
+            out = self.coarse_model.apply(
+                coarse_params,
+                imgs,
+                K_c,
+                TCO_c,
+                meshes_c,
+                method=PosePredictor.score_views,
+            )
+            return out["logits"][:, 0]
+
+        logits = jax.lax.map(
+            score_chunk,
+            (
+                TCO_p.reshape(n_chunks, chunk, 4, 4),
+                idx_p.reshape(n_chunks, chunk),
+            ),
+        )
+        return logits.reshape(n_pad)[:N]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def run_inference_pipeline(
+        self,
+        observation,
+        detections: PandasTensorCollection,
+        n_refiner_iterations: int | None = None,
+        n_pose_hypotheses: int | None = None,
+        keep_all_coarse_outputs: bool = False,
+        run_depth_refiner: bool | None = None,
+    ) -> tuple[PandasTensorCollection, dict]:
+        """Full pipeline on ONE observation (pose_estimator.py:510-641).
+
+        Args:
+          observation: `data.types.ObservationTensor` with batch size 1.
+          detections: DetectionsType (infos.label + bboxes [D, 4]).
+        Returns:
+          (PoseEstimatesType with one row per detection, extra_data dict).
+        """
+        cfg = self.cfg
+        n_iter = n_refiner_iterations or cfg.n_refiner_iterations
+        top_k = n_pose_hypotheses or cfg.n_pose_hypotheses
+        assert observation.batch_size == 1
+
+        timing: dict[str, float] = {}
+        t_start = time.monotonic()
+
+        D_real = len(detections)
+        D = cfg.max_detections
+        labels = list(detections.infos["label"])
+        mesh_idx_real = np.asarray(
+            self.mesh_db.label_to_index(labels), np.int32
+        )
+        boxes = _pad_to(np.asarray(detections.bboxes, np.float32), D)
+        mesh_idx = _pad_to(mesh_idx_real, D)
+
+        images = jnp.asarray(observation.images)
+        K = jnp.asarray(observation.K)
+        grid = self.so3_grid
+
+        # --- coarse ---------------------------------------------------
+        t0 = time.monotonic()
+        chunk = min(cfg.bsz_images, D * grid.shape[0])
+        logits, TCO_init = self._coarse_logits_all(
+            chunk,
+            self.coarse_params,
+            images,
+            K,
+            jnp.asarray(boxes),
+            jnp.asarray(mesh_idx),
+            grid,
+        )
+        logits.block_until_ready()
+        timing["coarse"] = time.monotonic() - t0
+
+        # --- top-K ----------------------------------------------------
+        top_logits, top_ids = jax.lax.top_k(logits, top_k)  # [D, K]
+        TCO_topk = jnp.take_along_axis(
+            TCO_init, top_ids[..., None, None], axis=1
+        )  # [D, K, 4, 4]
+
+        # --- refiner --------------------------------------------------
+        t0 = time.monotonic()
+        N = D * top_k
+        TCO_flat = TCO_topk.reshape(N, 4, 4)
+        idx_flat = jnp.repeat(jnp.asarray(mesh_idx), top_k)
+        TCO_refined, traj = self._refine(
+            min(cfg.bsz_objects, N),
+            n_iter,
+            self.refiner_params,
+            images,
+            K,
+            TCO_flat,
+            idx_flat,
+        )
+        TCO_refined.block_until_ready()
+        timing["refiner"] = time.monotonic() - t0
+
+        # --- re-score refined hypotheses -------------------------------
+        t0 = time.monotonic()
+        pose_logits = self._rescore(
+            min(cfg.bsz_objects, N),
+            self.coarse_params,
+            images,
+            K,
+            TCO_refined,
+            idx_flat,
+        )
+        pose_logits.block_until_ready()
+        timing["scoring"] = time.monotonic() - t0
+
+        # --- top-1 per detection ---------------------------------------
+        pose_logits_dk = pose_logits.reshape(D, top_k)
+        best = jnp.argmax(pose_logits_dk, axis=1)  # [D]
+        TCO_best = jnp.take_along_axis(
+            TCO_refined.reshape(D, top_k, 4, 4),
+            best[:, None, None, None],
+            axis=1,
+        )[:, 0]
+        best_logit = jnp.take_along_axis(
+            pose_logits_dk, best[:, None], axis=1
+        )[:, 0]
+
+        timing["total"] = time.monotonic() - t_start
+        self.timing_ = timing
+
+        # --- assemble outputs (pandas only here) ------------------------
+        poses_np = np.asarray(TCO_best)[:D_real]
+        scores_np = jax.nn.sigmoid(best_logit)
+        infos = detections.infos.copy()
+        infos["pose_score"] = np.asarray(scores_np)[:D_real]
+        infos["pose_logit"] = np.asarray(best_logit)[:D_real]
+        data = PandasTensorCollection(infos, poses=poses_np)
+
+        extra: dict[str, Any] = {
+            "timing": timing,
+            "coarse": {
+                "logits": np.asarray(logits)[:D_real],
+                "TCO_init": np.asarray(TCO_init)[:D_real],
+                "top_ids": np.asarray(top_ids)[:D_real],
+            },
+            "refiner": {
+                "trajectory": np.asarray(traj).reshape(
+                    n_iter, D, top_k, 4, 4
+                )[:, :D_real],
+                "TCO_refined": np.asarray(TCO_refined).reshape(D, top_k, 4, 4)[
+                    :D_real
+                ],
+                "pose_logits": np.asarray(pose_logits_dk)[:D_real],
+            },
+        }
+        if keep_all_coarse_outputs:
+            extra["coarse"]["all_TCO"] = np.asarray(TCO_init)[:D_real]
+        return data, extra

@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from megapose6d_tpu.data import ObservationTensor
+from megapose6d_tpu.inference import InferenceConfig, PoseEstimator, make_detections
+from megapose6d_tpu.meshes import (
+    MeshDataBase,
+    RigidObject,
+    RigidObjectDataset,
+    make_cube,
+    make_uv_sphere,
+)
+from megapose6d_tpu.models import (
+    PosePredictor,
+    make_coarse_config,
+    make_refiner_config,
+)
+from megapose6d_tpu.ops import rasterizer
+
+RENDER = (48, 64)
+IMG = (96, 128)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    objs = RigidObjectDataset(
+        [
+            RigidObject(label="cube", mesh=make_cube(0.04)),
+            RigidObject(label="sphere", mesh=make_uv_sphere(0.035, 8, 12)),
+        ]
+    )
+    db = MeshDataBase.from_object_ds(objs, max_faces=256, n_points=64, n_sym=2)
+    mesh_db = db.batched(align=32)
+
+    coarse_cfg = make_coarse_config(render_size=RENDER, face_chunk=32)
+    refiner_cfg = make_refiner_config(
+        render_size=RENDER, n_rendered_views=2,
+        multiview_type="TCO+front_1view", face_chunk=32,
+    )
+    coarse = PosePredictor(coarse_cfg)
+    refiner = PosePredictor(refiner_cfg)
+
+    K = np.asarray([[130.0, 0, 64], [0, 130.0, 48], [0, 0, 1]], np.float32)
+    TCO_gt = np.eye(4, dtype=np.float32)
+    TCO_gt[2, 3] = 0.5
+    meshes1 = mesh_db.select(mesh_db.label_to_index(["cube"]))
+    obs_render = rasterizer.render_meshes(
+        meshes1.vertices, meshes1.normals, meshes1.colors, meshes1.faces,
+        meshes1.face_valid, jnp.asarray(TCO_gt)[None], jnp.asarray(K)[None],
+        IMG, light_ambient=1.0, light_point=0.0,
+    )
+    obs = ObservationTensor(
+        images=np.asarray(obs_render.rgb), K=K[None]
+    )
+
+    dummy_imgs = jnp.zeros((1,) + IMG + (3,), jnp.float32)
+    dummy_T = jnp.asarray(TCO_gt)[None]
+    cparams = coarse.init(
+        jax.random.PRNGKey(0), dummy_imgs, jnp.asarray(K)[None], dummy_T, meshes1
+    )
+    rparams = refiner.init(
+        jax.random.PRNGKey(1), dummy_imgs, jnp.asarray(K)[None], dummy_T, meshes1
+    )
+
+    cfg = InferenceConfig(
+        SO3_grid_size=16,
+        n_refiner_iterations=2,
+        n_pose_hypotheses=3,
+        bsz_images=16,
+        bsz_objects=8,
+        max_detections=4,
+    )
+    est = PoseEstimator(coarse, cparams, refiner, rparams, mesh_db, cfg)
+    return est, obs, TCO_gt
+
+
+def gt_detection_box(TCO_gt):
+    # cube half extent 0.04 at z=0.5 with f=130 -> ~10.4 px half-size
+    half = 130 * 0.04 / 0.46
+    cx, cy = 64.0, 48.0
+    return np.asarray(
+        [[cx - half, cy - half, cx + half, cy + half]], np.float32
+    )
+
+
+def test_pipeline_runs_and_shapes(setup):
+    est, obs, TCO_gt = setup
+    detections = make_detections(["cube"], gt_detection_box(TCO_gt))
+    out, extra = est.run_inference_pipeline(obs, detections)
+    assert len(out) == 1
+    assert out.poses.shape == (1, 4, 4)
+    assert np.isfinite(out.poses).all()
+    assert "pose_score" in out.infos.columns
+    assert extra["coarse"]["logits"].shape == (1, 16)
+    assert extra["refiner"]["trajectory"].shape == (2, 1, 3, 4, 4)
+    # Valid SE(3).
+    R = out.poses[:, :3, :3]
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1), np.eye(3)[None], atol=1e-4)
+    assert est.timing_["total"] > 0
+
+
+def test_topk_consistent_with_logits(setup):
+    est, obs, TCO_gt = setup
+    detections = make_detections(["cube"], gt_detection_box(TCO_gt))
+    out, extra = est.run_inference_pipeline(obs, detections)
+    logits = extra["coarse"]["logits"][0]
+    top_ids = extra["coarse"]["top_ids"][0]
+    expected = np.argsort(-logits)[:3]
+    assert set(top_ids.tolist()) == set(expected.tolist())
+    # Final logit equals max of rescored pose logits.
+    pose_logits = extra["refiner"]["pose_logits"][0]
+    np.testing.assert_allclose(
+        out.infos["pose_logit"][0], pose_logits.max(), atol=1e-5
+    )
+
+
+def test_multi_detection(setup):
+    est, obs, TCO_gt = setup
+    boxes = np.concatenate(
+        [gt_detection_box(TCO_gt), gt_detection_box(TCO_gt) + 5.0]
+    )
+    detections = make_detections(["cube", "sphere"], boxes)
+    out, extra = est.run_inference_pipeline(obs, detections)
+    assert len(out) == 2
+    assert list(out.infos["label"]) == ["cube", "sphere"]
+    assert np.isfinite(out.poses).all()
+    # Coarse depth init from the box is in a sane range.
+    z = extra["coarse"]["TCO_init"][:, :, 2, 3]
+    assert (z > 0.05).all() and (z < 5.0).all()
+
+
+def test_deterministic(setup):
+    est, obs, TCO_gt = setup
+    detections = make_detections(["cube"], gt_detection_box(TCO_gt))
+    out1, _ = est.run_inference_pipeline(obs, detections)
+    out2, _ = est.run_inference_pipeline(obs, detections)
+    np.testing.assert_allclose(out1.poses, out2.poses, atol=0)
