@@ -1,0 +1,267 @@
+"""Training loop: sharded train step, optimizer/schedule, checkpoints, logs.
+
+TPU-native re-design of the reference's `train_megapose`
+(megapose6d: src/megapose/training/train_megapose.py:75-412):
+  - DDP/NCCL + AMP GradScaler -> one jitted train step, data-parallel over a
+    `jax.sharding.Mesh` (gradients reduced by XLA over ICI), bf16 compute via
+    the model's dtype policy (no loss scaling needed — f32 master params).
+  - file-based config/weight broadcast -> not needed: params are created
+    once and sharded by GSPMD.
+  - warmup + step-decay LR (training/utils.py:make_lr_ratio_function:128)
+    reproduced as an optax schedule in steps.
+  - checkpoint.pth.tar landscape -> orbax checkpoints in the same
+    {run_dir/config.json, checkpoints/} layout (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from ..meshes.mesh_db import BatchedMeshes
+from ..models.pose_predictor import PosePredictor, PosePredictorConfig
+from ..parallel import mesh as mesh_lib
+from ..ops import rasterizer
+from ..ops.camera import masked_boxes_from_uv, project_points_robust
+from ..ops.so3_grid import super_fibonacci_quats
+from ..ops.se3 import make_se3, rotmat_from_quat
+from .config import TrainingConfig
+from .forward_loss import BatchPoseData, forward_loss
+
+Array = jax.Array
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_lr_schedule(cfg: TrainingConfig, steps_per_epoch: int):
+    """warmup(n_epochs_warmup) then 10x decay every lr_epoch_decay epochs
+    (training/utils.py:128-144)."""
+
+    warmup_steps = max(1, cfg.n_epochs_warmup * steps_per_epoch)
+    decay_steps = max(1, cfg.lr_epoch_decay * steps_per_epoch)
+
+    def schedule(step):
+        warm = jnp.minimum((step + 1) / warmup_steps, 1.0)
+        decay = 0.1 ** (step // decay_steps)
+        return cfg.lr * warm * decay
+
+    return schedule
+
+
+def make_optimizer(cfg: TrainingConfig, steps_per_epoch: int):
+    """Adam + grad clip (train_megapose.py:250-266, 313-321)."""
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    if cfg.weight_decay > 0:
+        opt = optax.adamw(learning_rate=sched, weight_decay=cfg.weight_decay)
+    else:
+        opt = optax.adam(learning_rate=sched)
+    return optax.chain(optax.clip_by_global_norm(cfg.clip_grad_norm), opt)
+
+
+def create_train_state(
+    cfg: TrainingConfig,
+    model: PosePredictor,
+    mesh_db: BatchedMeshes,
+    key: Array,
+    input_res: tuple[int, int] | None = None,
+) -> TrainState:
+    res = tuple(input_res or cfg.input_resize)
+    c = 4 if cfg.input_depth else 3
+    dummy_images = jnp.zeros((1,) + res + (c,), jnp.float32)
+    dummy_K = jnp.eye(3)[None] * 100.0
+    dummy_T = jnp.eye(4)[None].at[0, 2, 3].set(0.5)
+    meshes1 = mesh_db.select(jnp.zeros((1,), jnp.int32))
+    params = model.init(key, dummy_images, dummy_K, dummy_T, meshes1)
+    steps_per_epoch = max(1, cfg.epoch_size // cfg.batch_size)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def make_train_step(
+    model: PosePredictor, cfg: TrainingConfig, mesh_db: BatchedMeshes
+) -> Callable:
+    """Jitted (state, batch, key, n_iterations) -> (state, metrics).
+
+    Under a Mesh, shard `batch` on the dp axis and keep state replicated;
+    GSPMD inserts the gradient all-reduce over ICI.
+    """
+
+    def step(state: TrainState, batch: BatchPoseData, key: Array, n_iterations: int):
+        def loss_fn(params):
+            loss, metrics = forward_loss(
+                params, model, cfg, batch, mesh_db, key, n_iterations
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        gnorm = optax.global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = gnorm
+        return state, metrics
+
+    return jax.jit(step, static_argnums=(3,), donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Synthetic on-device data source (debug/overfit; the reference's analog is
+# the debug/overfit config shrink, run_megapose_training.py:275-295 — we can
+# additionally *generate* observations with the in-graph renderer).
+# ---------------------------------------------------------------------------
+
+def synthetic_batch_fn(
+    mesh_db: BatchedMeshes,
+    batch_size: int,
+    input_res: tuple[int, int] = (240, 320),
+    f: float = 400.0,
+    z_range: tuple[float, float] = (0.35, 0.9),
+    face_chunk: int = 64,
+) -> Callable[[Array], BatchPoseData]:
+    """Returns a jittable `key -> BatchPoseData` that renders random GT
+    scenes of DB objects. Used by overfit tests, the multi-chip dryrun, and
+    the benchmark harness."""
+    H, W = input_res
+    K1 = jnp.asarray(
+        [[f, 0.0, W / 2 - 0.5], [0.0, f, H / 2 - 0.5], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    # A fixed quaternion pool for cheap random rotations.
+    quat_pool = jnp.asarray(super_fibonacci_quats(4096), jnp.float32)
+
+    def fn(key: Array) -> BatchPoseData:
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        L = mesh_db.n_labels
+        mesh_idx = jax.random.randint(k1, (batch_size,), 0, L)
+        q = quat_pool[jax.random.randint(k2, (batch_size,), 0, len(quat_pool))]
+        R = rotmat_from_quat(q)
+        z = jax.random.uniform(
+            k3, (batch_size, 1), minval=z_range[0], maxval=z_range[1]
+        )
+        xy = jax.random.uniform(k4, (batch_size, 2), minval=-0.05, maxval=0.05)
+        TCO = make_se3(R, jnp.concatenate([xy * z, z], -1))
+        meshes = mesh_db.select(mesh_idx)
+        K = jnp.broadcast_to(K1, (batch_size, 3, 3))
+        out = rasterizer.render_meshes(
+            meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
+            meshes.face_valid, TCO, K, (H, W), chunk=face_chunk,
+            light_ambient=1.0, light_point=0.0,
+        )
+        uv = project_points_robust(meshes.points, K, TCO)
+        bboxes = masked_boxes_from_uv(
+            uv, jnp.ones(uv.shape[:2], bool)
+        )
+        return BatchPoseData(
+            rgbs=out.rgb, K=K, TCO=TCO, bboxes=bboxes, mesh_idx=mesh_idx
+        )
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (SURVEY.md §5.4 layout)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(run_dir: str | Path, state: TrainState, epoch: int) -> None:
+    import orbax.checkpoint as ocp
+
+    path = Path(run_dir).absolute() / "checkpoints" / f"epoch_{epoch}"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": state.params, "step": state.step}, force=True)
+    ckptr.wait_until_finished()
+    latest = Path(run_dir) / "checkpoints" / "latest.txt"
+    latest.write_text(str(epoch))
+
+
+def load_checkpoint(run_dir: str | Path, state: TrainState, epoch: int | None = None):
+    import orbax.checkpoint as ocp
+
+    run_dir = Path(run_dir)
+    if epoch is None:
+        epoch = int((run_dir / "checkpoints" / "latest.txt").read_text())
+    path = (run_dir / "checkpoints" / f"epoch_{epoch}").absolute()
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        path, {"params": state.params, "step": state.step}
+    )
+    return state.replace(params=restored["params"]), epoch
+
+
+# ---------------------------------------------------------------------------
+# Loop
+# ---------------------------------------------------------------------------
+
+def train(
+    cfg: TrainingConfig,
+    model: PosePredictor,
+    mesh_db: BatchedMeshes,
+    batch_iterator: Iterator[BatchPoseData],
+    run_dir: str | Path | None = None,
+    n_epochs: int | None = None,
+    steps_per_epoch: int | None = None,
+    log_fn: Callable[[dict], None] | None = None,
+    device_mesh=None,
+    input_res: tuple[int, int] | None = None,
+) -> TrainState:
+    """Generic loop over a batch iterator (host or device side).
+
+    Mirrors train_megapose.py:268-412: per-epoch metric averages, JSON-line
+    logs, periodic checkpoints, iteration-count ramp.
+    """
+    run_dir = Path(run_dir or Path(cfg.run_dir) / cfg.run_id)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    from .config import save_config
+
+    save_config(cfg, run_dir / "config.json")
+
+    key = jax.random.PRNGKey(cfg.seed)
+    state = create_train_state(
+        cfg, model, mesh_db, key, input_res=input_res
+    )
+    step_fn = make_train_step(model, cfg, mesh_db)
+
+    n_epochs = n_epochs or cfg.n_epochs
+    steps_per_epoch = steps_per_epoch or max(1, cfg.epoch_size // cfg.batch_size)
+    log_path = run_dir / "log.txt"
+
+    for epoch in range(1, n_epochs + 1):
+        if cfg.add_iteration_epoch_interval > 0:
+            n_iter = min(
+                epoch // cfg.add_iteration_epoch_interval + 1, cfg.n_iterations
+            )
+        else:
+            n_iter = cfg.n_iterations
+        sums: dict[str, float] = {}
+        t0 = time.monotonic()
+        for _ in range(steps_per_epoch):
+            batch = next(batch_iterator)
+            if device_mesh is not None:
+                batch = mesh_lib.shard_batch(batch, device_mesh)
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch, sub, n_iter)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        log = {k: v / steps_per_epoch for k, v in sums.items()}
+        log.update(
+            epoch=epoch,
+            n_iterations=n_iter,
+            time_per_epoch=time.monotonic() - t0,
+        )
+        with open(log_path, "a") as fh:
+            fh.write(json.dumps(log) + "\n")
+        if log_fn:
+            log_fn(log)
+        if epoch % cfg.save_epoch_interval == 0 or epoch == n_epochs:
+            save_checkpoint(run_dir, state, epoch)
+    return state

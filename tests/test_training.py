@@ -1,0 +1,202 @@
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from megapose6d_tpu.meshes import (
+    MeshDataBase,
+    RigidObject,
+    RigidObjectDataset,
+    make_cube,
+    make_uv_sphere,
+)
+from megapose6d_tpu.models import PosePredictor, PosePredictorConfig
+from megapose6d_tpu.parallel import make_mesh, shard_batch
+from megapose6d_tpu.training import (
+    BatchPoseData,
+    TrainingConfig,
+    apply_overrides,
+    create_train_state,
+    forward_loss,
+    load_checkpoint,
+    make_coarse_cfg,
+    make_hypotheses,
+    make_refiner_cfg,
+    make_train_step,
+    save_checkpoint,
+    synthetic_batch_fn,
+)
+
+INPUT = (60, 80)
+RENDER = (48, 64)
+
+
+@pytest.fixture(scope="module")
+def mesh_db():
+    objs = RigidObjectDataset(
+        [
+            RigidObject(label="cube", mesh=make_cube(0.04)),
+            RigidObject(label="sphere", mesh=make_uv_sphere(0.035, 8, 12)),
+        ]
+    )
+    db = MeshDataBase.from_object_ds(objs, max_faces=256, n_points=64, n_sym=2)
+    return db.batched(align=32)
+
+
+def small_cfg(**kw):
+    base = TrainingConfig(
+        input_resize=INPUT,
+        render_size=RENDER,
+        batch_size=2,
+        epoch_size=4,
+        n_epochs_warmup=1,
+        lr_epoch_decay=100,
+        n_points_loss=32,
+        n_iterations=1,
+    )
+    return dataclasses.replace(base, **kw)
+
+
+def test_cli_overrides():
+    cfg = TrainingConfig()
+    cfg = apply_overrides(
+        cfg, ["lr=0.001", "batch_size=8", "render_normals=false",
+              "init_trans_std=0.02,0.02,0.1"]
+    )
+    assert cfg.lr == 0.001 and cfg.batch_size == 8
+    assert cfg.render_normals is False
+    assert cfg.init_trans_std == (0.02, 0.02, 0.1)
+
+
+def test_synthetic_batch(mesh_db):
+    fn = synthetic_batch_fn(mesh_db, 4, INPUT, f=120.0, face_chunk=32)
+    batch = jax.jit(fn)(jax.random.PRNGKey(0))
+    assert batch.rgbs.shape == (4,) + INPUT + (3,)
+    assert batch.TCO.shape == (4, 4, 4)
+    # Rendered observations are non-empty and bboxes sane.
+    assert (np.asarray(batch.rgbs).max(axis=(1, 2, 3)) > 0.1).all()
+    b = np.asarray(batch.bboxes)
+    assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+
+
+def test_hypotheses_refiner_noise(mesh_db):
+    cfg = small_cfg(hypotheses_init_method="refiner_gt+noise", n_hypotheses=3)
+    fn = synthetic_batch_fn(mesh_db, 2, INPUT, f=120.0, face_chunk=32)
+    batch = fn(jax.random.PRNGKey(0))
+    meshes = mesh_db.select(batch.mesh_idx)
+    TCO_init, pos = make_hypotheses(jax.random.PRNGKey(1), cfg, batch, meshes)
+    assert TCO_init.shape == (2, 3, 4, 4) and pos is None
+    # Noised poses stay near GT.
+    d = np.linalg.norm(
+        np.asarray(TCO_init[:, :, :3, 3] - batch.TCO[:, None, :3, 3]), axis=-1
+    )
+    assert (d < 0.5).all() and (d > 0).all()
+
+
+def test_hypotheses_coarse_multiview(mesh_db):
+    cfg = small_cfg(
+        hypotheses_init_method="coarse_classif_multiview_paper",
+        n_hypotheses=6,
+    )
+    fn = synthetic_batch_fn(mesh_db, 4, INPUT, f=120.0, face_chunk=32)
+    batch = fn(jax.random.PRNGKey(0))
+    meshes = mesh_db.select(batch.mesh_idx)
+    TCO_init, pos = make_hypotheses(jax.random.PRNGKey(2), cfg, batch, meshes)
+    assert TCO_init.shape == (4, 6, 4, 4)
+    assert pos.shape == (4, 6)
+    assert set(np.unique(np.asarray(pos))).issubset({0.0, 1.0})
+    # At most one positive per sample (view 0 appears at most once).
+    assert (np.asarray(pos).sum(1) <= 1).all()
+
+
+def test_refiner_train_step_decreases_loss(mesh_db):
+    cfg = make_refiner_cfg(small_cfg())
+    cfg = dataclasses.replace(
+        cfg, n_rendered_views=1, multiview_type="front_1view", n_iterations=1
+    )
+    model = PosePredictor(
+        PosePredictorConfig(**cfg.model_config_kwargs(), face_chunk=32)
+    )
+    state = create_train_state(
+        cfg, model, mesh_db, jax.random.PRNGKey(0), input_res=INPUT
+    )
+    step_fn = make_train_step(model, cfg, mesh_db)
+    batch_fn = synthetic_batch_fn(mesh_db, 2, INPUT, f=120.0, face_chunk=32)
+    batch = batch_fn(jax.random.PRNGKey(3))  # fixed batch: overfit signal
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(8):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(42), 1)
+        losses.append(float(metrics["loss_total"]))
+        assert np.isfinite(losses[-1])
+    # Overfitting a single fixed batch with fixed noise must reduce loss.
+    assert losses[-1] < losses[0], losses
+
+
+def test_coarse_train_step(mesh_db):
+    cfg = make_coarse_cfg(small_cfg())
+    cfg = dataclasses.replace(cfg, n_hypotheses=4)
+    model = PosePredictor(
+        PosePredictorConfig(**cfg.model_config_kwargs(), face_chunk=32)
+    )
+    state = create_train_state(
+        cfg, model, mesh_db, jax.random.PRNGKey(0), input_res=INPUT
+    )
+    step_fn = make_train_step(model, cfg, mesh_db)
+    batch_fn = synthetic_batch_fn(mesh_db, 2, INPUT, f=120.0, face_chunk=32)
+    batch = batch_fn(jax.random.PRNGKey(3))
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(7), 1)
+    assert "loss_renderings_confidence" in metrics
+    assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_train_step_sharded_8_devices(mesh_db):
+    """Data-parallel train step over the 8 virtual CPU devices."""
+    assert len(jax.devices()) == 8
+    cfg = make_refiner_cfg(small_cfg(batch_size=8))
+    cfg = dataclasses.replace(
+        cfg, n_rendered_views=1, multiview_type="front_1view", n_iterations=1
+    )
+    model = PosePredictor(
+        PosePredictorConfig(**cfg.model_config_kwargs(), face_chunk=32)
+    )
+    state = create_train_state(
+        cfg, model, mesh_db, jax.random.PRNGKey(0), input_res=INPUT
+    )
+    step_fn = make_train_step(model, cfg, mesh_db)
+    batch_fn = synthetic_batch_fn(mesh_db, 8, INPUT, f=120.0, face_chunk=32)
+    batch = batch_fn(jax.random.PRNGKey(3))
+
+    mesh = make_mesh(8)
+    batch = shard_batch(batch, mesh)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1), 1)
+    assert np.isfinite(float(metrics["loss_total"]))
+    # Batch really was sharded.
+    assert len(batch.rgbs.sharding.device_set) == 8
+
+
+def test_checkpoint_roundtrip(mesh_db, tmp_path):
+    cfg = make_refiner_cfg(small_cfg())
+    cfg = dataclasses.replace(
+        cfg, n_rendered_views=1, multiview_type="front_1view"
+    )
+    model = PosePredictor(
+        PosePredictorConfig(**cfg.model_config_kwargs(), face_chunk=32)
+    )
+    state = create_train_state(
+        cfg, model, mesh_db, jax.random.PRNGKey(0), input_res=INPUT
+    )
+    save_checkpoint(tmp_path, state, epoch=3)
+    state2 = create_train_state(
+        cfg, model, mesh_db, jax.random.PRNGKey(9), input_res=INPUT
+    )
+    state2, epoch = load_checkpoint(tmp_path, state2)
+    assert epoch == 3
+    chex_equal = jax.tree.map(
+        lambda a, b: np.allclose(a, b), state.params, state2.params
+    )
+    assert all(jax.tree.leaves(chex_equal))
