@@ -432,8 +432,10 @@ def make_uv_sphere(
             b = i * n_lon + (j + 1) % n_lon
             c = (i + 1) * n_lon + j
             d = (i + 1) * n_lon + (j + 1) % n_lon
-            faces.append([a, c, b])
-            faces.append([b, c, d])
+            if i > 0:  # ring-0 vertices are all the pole: [a,c,b] degenerate
+                faces.append([a, c, b])
+            if i < n_lat - 1:  # last ring collapses to the south pole
+                faces.append([b, c, d])
     colors = np.tile(np.asarray(color, np.float32), (len(verts), 1))
     return TriMesh(
         verts, np.asarray(faces, np.int32), vertex_colors=colors

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..meshes.mesh_db import BatchedMeshes
-from ..ops import cropping, multiview, rasterizer
+from ..ops import cropping, multiview, rasterizer, rasterizer_tiled
 from ..ops.camera import get_K_crop_resize, masked_boxes_from_uv, project_points_robust
 from ..ops.pose_init import pose_update_with_reference_point
 from ..ops.se3 import normalize_T, rotmat_from_ortho6d
@@ -60,7 +60,9 @@ class PosePredictorConfig:
     compute_dtype: str = "float32"  # "bfloat16" on TPU
     crop_lamb: float = 1.4
     mv_crop_points: int = 200  # points for multiview crop boxes (ref: 200)
-    face_chunk: int = 64
+    renderer: str = "tiled"  # "tiled" (Pallas) | "scan" (XLA baseline)
+    face_chunk: int = 64  # scan renderer face chunk
+    max_faces_per_tile: int = 512  # tiled renderer bin capacity
     z_near: float = 0.01
 
     @property
@@ -203,7 +205,7 @@ class PosePredictor(nn.Module):
             light_ambient, light_point = 1.0, 0.0
         else:
             light_ambient, light_point = 0.1, 0.4
-        out = rasterizer.render_meshes(
+        render_args = (
             mesh_mv.vertices,
             mesh_mv.normals,
             mesh_mv.colors,
@@ -212,11 +214,26 @@ class PosePredictor(nn.Module):
             TCV_O.reshape(B * V, 4, 4),
             KV.reshape(B * V, 3, 3),
             cfg.render_size,
-            z_near=cfg.z_near,
-            chunk=cfg.face_chunk,
-            light_ambient=light_ambient,
-            light_point=light_point,
         )
+        if cfg.renderer == "tiled":
+            out = rasterizer_tiled.render_meshes_tiled(
+                *render_args,
+                z_near=cfg.z_near,
+                max_faces_per_tile=cfg.max_faces_per_tile,
+                light_ambient=light_ambient,
+                light_point=light_point,
+                # The Pallas kernel runs compiled on TPU, interpreted on
+                # host CPU (tests / virtual-device dryruns).
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            out = rasterizer.render_meshes(
+                *render_args,
+                z_near=cfg.z_near,
+                chunk=cfg.face_chunk,
+                light_ambient=light_ambient,
+                light_point=light_point,
+            )
         chans = [out.rgb]
         if cfg.render_normals:
             chans.append(out.normals)

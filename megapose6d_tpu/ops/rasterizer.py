@@ -114,15 +114,19 @@ def _visibility_single(
         e0 = edge(u1, v1, u2, v2)
         e1 = edge(u2, v2, u0, v0)
         e2 = edge(u0, v0, u1, v1)
-        area = (u1 - u0) * (v2 - v0) - (v1 - v0) * (u2 - u0)  # [C]
+        t1 = (u1 - u0) * (v2 - v0)
+        t2 = (v1 - v0) * (u2 - u0)
+        area = t1 - t2  # [C]
+        # Scale-aware degeneracy cull: FMA noise on the cross product can
+        # reach ~1e-4 px^2 for zero-area faces at 100px coordinates, so an
+        # absolute 1e-9 threshold lets garbage half-plane wedges through.
+        area_ok = jnp.abs(area) > 1e-5 * (jnp.abs(t1) + jnp.abs(t2) + 1e-9)
 
         pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
         neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
         inside = jnp.where(area[:, None] >= 0, pos, neg)
 
-        inv_area = jnp.where(
-            jnp.abs(area) > 1e-9, 1.0 / area, 0.0
-        )[:, None]
+        inv_area = jnp.where(area_ok, 1.0 / area, 0.0)[:, None]
         l0 = e0 * inv_area
         l1 = e1 * inv_area
         l2 = 1.0 - l0 - l1
@@ -132,7 +136,7 @@ def _visibility_single(
 
         ok = (
             inside
-            & (jnp.abs(area) > 1e-9)[:, None]
+            & area_ok[:, None]
             & f_valid[:, None]
             & (jnp.minimum(jnp.minimum(z0, z1), z2) > z_near)[:, None]
         )
