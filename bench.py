@@ -47,12 +47,12 @@ def build_world():
     return db.batched(align=128)
 
 
-def bench_renders(mesh_db, n_hyp=64, iters=5, resolution=(240, 320)):
+def bench_renders(mesh_db, n_hyp=64, iters=5, resolution=(240, 320), mode="tiled"):
     from megapose6d_tpu.ops import rasterizer
+    from megapose6d_tpu.ops.rasterizer_tiled import render_meshes_tiled
 
     idx = jnp.zeros((n_hyp,), jnp.int32)
     meshes = mesh_db.select(idx)
-    key = jax.random.PRNGKey(0)
     from megapose6d_tpu.ops.so3_grid import make_so3_grid
     from megapose6d_tpu.ops.se3 import make_se3
 
@@ -62,13 +62,20 @@ def bench_renders(mesh_db, n_hyp=64, iters=5, resolution=(240, 320)):
     K = jnp.asarray(
         [[[600.0, 0, 160], [0, 600.0, 120], [0, 0, 1]]] * n_hyp, jnp.float32
     )
+    args = (
+        meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
+        meshes.face_valid,
+    )
 
     @jax.jit
     def render(TCO):
-        out = rasterizer.render_meshes(
-            meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
-            meshes.face_valid, TCO, K, resolution, chunk=128,
-        )
+        if mode == "tiled":
+            out = render_meshes_tiled(
+                *args, TCO, K, resolution,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            out = rasterizer.render_meshes(*args, TCO, K, resolution, chunk=128)
         return out.rgb.sum(), out.depth.sum()
 
     render(TCO)[0].block_until_ready()  # compile
@@ -130,7 +137,7 @@ def bench_pipeline(mesh_db):
         SO3_grid_size=576,
         n_refiner_iterations=5,
         n_pose_hypotheses=5,
-        bsz_images=144,
+        bsz_images=64,
         bsz_objects=8,
         max_detections=1,
     )
@@ -160,15 +167,18 @@ def bench_pipeline(mesh_db):
 def main():
     log(f"devices: {jax.devices()}")
     mesh_db = build_world()
-    renders_per_s = bench_renders(mesh_db)
-    log(f"hypothesis renders/sec (240x320, ~3k faces): {renders_per_s:.1f}")
+    renders_tiled = bench_renders(mesh_db, mode="tiled")
+    log(f"tiled renders/sec (240x320, ~3k faces): {renders_tiled:.1f}")
+    renders_scan = bench_renders(mesh_db, mode="scan")
+    log(f"scan renders/sec: {renders_scan:.1f}")
     poses_per_s, timing = bench_pipeline(mesh_db)
     result = {
         "metric": "poses/sec/chip end-to-end (coarse 576-grid + 5 refiner iters)",
         "value": round(poses_per_s, 4),
         "unit": "poses/s",
         "vs_baseline": None,
-        "renders_per_sec": round(renders_per_s, 1),
+        "renders_per_sec": round(renders_tiled, 1),
+        "renders_per_sec_scan": round(renders_scan, 1),
         "phase_ms": {k: round(v * 1000, 1) for k, v in timing.items()},
         "device": str(jax.devices()[0]),
     }

@@ -1,0 +1,123 @@
+"""Depth-based pose refinement (the RGBD pipeline's final stage).
+
+Re-design of the reference's `DepthRefiner` ABC + `ICPRefiner`
+(megapose6d: src/megapose/inference/depth_refiner.py:29-52,
+inference/icp_refiner.py:183-262). The refiner renders the predicted pose's
+depth with the on-device rasterizer and runs the jitted JAX ICP
+(`ops/icp.py`) — no OpenCV, no per-object CPU loop.
+"""
+
+from __future__ import annotations
+
+import abc
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tensor_collection import PandasTensorCollection
+from ..meshes.mesh_db import BatchedMeshes
+from ..ops import icp, rasterizer_tiled
+
+
+class DepthRefiner(abc.ABC):
+    """Interface parity with inference/depth_refiner.py:29-52."""
+
+    @abc.abstractmethod
+    def refine_poses(
+        self,
+        predictions: PandasTensorCollection,
+        masks=None,
+        depth=None,
+        K=None,
+    ) -> tuple[PandasTensorCollection, dict]:
+        ...
+
+
+class ICPRefiner(DepthRefiner):
+    def __init__(
+        self,
+        mesh_db: BatchedMeshes,
+        n_points: int = 1024,
+        n_iterations: int = 30,
+        resolution_downscale: int = 2,
+    ):
+        self.mesh_db = mesh_db
+        self.n_points = n_points
+        self.n_iterations = n_iterations
+        self.downscale = resolution_downscale
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _refine_batch(self, key, TCO, mesh_idx, depth, resolution, K):
+        """depth: [H, W]; TCO: [N, 4, 4]; returns (TCO_refined, residual,
+        valid)."""
+        meshes = self.mesh_db.select(mesh_idx)
+        N = TCO.shape[0]
+        K_b = jnp.broadcast_to(K, (N, 3, 3))
+        rendered = rasterizer_tiled.render_meshes_tiled(
+            meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
+            meshes.face_valid, TCO, K_b, resolution,
+            interpret=jax.default_backend() == "cpu",
+        )
+
+        def one(k, TCO_n, depth_r):
+            res = icp.icp_refine_pose(
+                k, TCO_n, depth, depth_r, K,
+                n_points=self.n_points,
+                n_iterations=self.n_iterations,
+            )
+            TCO_refined = res.T_delta @ TCO_n
+            return (
+                jnp.where(res.valid, TCO_refined, TCO_n),
+                res.residual,
+                res.valid,
+            )
+
+        keys = jax.random.split(key, N)
+        return jax.vmap(one)(keys, TCO, rendered.depth)
+
+    def refine_poses(
+        self,
+        predictions: PandasTensorCollection,
+        masks=None,
+        depth=None,
+        K=None,
+    ) -> tuple[PandasTensorCollection, dict]:
+        """predictions.poses [N, 4, 4]; depth [H, W] or [1, H, W];
+        K [3, 3] or [1, 3, 3]."""
+        assert depth is not None and K is not None
+        depth = np.asarray(depth)
+        if depth.ndim == 3:
+            depth = depth[0]
+        K = np.asarray(K, np.float32)
+        if K.ndim == 3:
+            K = K[0]
+        labels = list(predictions.infos["label"])
+        mesh_idx = self.mesh_db.label_to_index(labels)
+
+        ds = self.downscale
+        if ds > 1:
+            depth_r = depth[::ds, ::ds]
+            K_r = K.copy()
+            K_r[:2] /= ds
+        else:
+            depth_r, K_r = depth, K
+        resolution = depth_r.shape
+
+        TCO_refined, residual, valid = self._refine_batch(
+            jax.random.PRNGKey(0),
+            jnp.asarray(predictions.poses, jnp.float32),
+            mesh_idx,
+            jnp.asarray(depth_r, jnp.float32),
+            tuple(resolution),
+            jnp.asarray(K_r),
+        )
+        out = PandasTensorCollection(
+            predictions.infos.copy(), poses=np.asarray(TCO_refined)
+        )
+        extra = {
+            "residual": np.asarray(residual),
+            "valid": np.asarray(valid),
+        }
+        return out, extra

@@ -1,0 +1,193 @@
+"""Point-to-plane ICP on depth images, pure JAX (fixed-iteration scan).
+
+TPU-native re-design of the reference's OpenCV-based depth refinement
+(megapose6d: src/megapose/inference/icp_refiner.py:100-175): XYZ/normal maps
+from depth, centroid pre-alignment, then point-to-plane ICP — here with a
+static point budget, nearest-neighbor correspondences recomputed every
+iteration, and a 6x6 Gauss-Newton solve, all inside one jitted `lax.scan`
+(the reference shells out to `cv2.ppf_match_3d_ICP`, a C++ per-object CPU
+loop).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .se3 import make_se3
+
+Array = jax.Array
+
+
+def depth_to_xyz(depth: Array, K: Array) -> Array:
+    """Back-project a depth image. depth `[H, W]`, K `[3, 3]` -> `[H, W, 3]`
+    (icp_refiner.py:getXYZ:96-126)."""
+    H, W = depth.shape
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    u = jnp.arange(W, dtype=depth.dtype)[None, :]
+    v = jnp.arange(H, dtype=depth.dtype)[:, None]
+    x = (u - cx) * depth / fx
+    y = (v - cy) * depth / fy
+    return jnp.stack([x, y, depth], axis=-1)
+
+
+def depth_normals(depth: Array, K: Array) -> Array:
+    """Normals from central differences of the XYZ map
+    (analog of icp_refiner.py:get_normal:54-93)."""
+    xyz = depth_to_xyz(depth, K)
+    dx = jnp.roll(xyz, -1, axis=1) - jnp.roll(xyz, 1, axis=1)
+    dy = jnp.roll(xyz, -1, axis=0) - jnp.roll(xyz, 1, axis=0)
+    n = jnp.cross(dx, dy)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(norm, 1e-9)
+    # Orient toward the camera (-z half-space).
+    flip = jnp.where(n[..., 2:3] > 0, -1.0, 1.0)
+    return n * flip
+
+
+def _sample_masked(key: Array, pts: Array, mask: Array, n: int):
+    """Pick `n` points where mask (static size, random without replacement;
+    invalid slots repeat valid ones). Returns (points [n, ...], ok)."""
+    scores = jax.random.uniform(key, mask.shape) + mask.astype(jnp.float32)
+    _, idx = jax.lax.top_k(scores, n)
+    ok = mask.sum() >= 1
+    return pts[idx], mask[idx], ok
+
+
+def _so3_exp(w: Array) -> Array:
+    """Rodrigues exp map, `w: [3]` -> `[3, 3]`."""
+    theta = jnp.linalg.norm(w)
+    k = w / jnp.maximum(theta, 1e-12)
+    Kx = jnp.array(
+        [
+            [0.0, -k[2], k[1]],
+            [k[2], 0.0, -k[0]],
+            [-k[1], k[0], 0.0],
+        ]
+    )
+    R = (
+        jnp.eye(3)
+        + jnp.sin(theta) * Kx
+        + (1.0 - jnp.cos(theta)) * (Kx @ Kx)
+    )
+    return jnp.where(theta < 1e-9, jnp.eye(3), R)
+
+
+class ICPResult(NamedTuple):
+    T_delta: Array  # [4, 4] correction (applied on the left)
+    residual: Array  # [] mean |point-to-plane| of inliers at convergence
+    valid: Array  # [] bool
+
+
+def icp_point_to_plane(
+    src_pts: Array,  # [N, 3] source points (rendered surface), camera frame
+    tgt_pts: Array,  # [M, 3] target points (measured depth)
+    tgt_normals: Array,  # [M, 3]
+    src_valid: Array,  # [N] bool
+    tgt_valid: Array,  # [M] bool
+    n_iterations: int = 30,
+    max_corr_dist: float = 0.02,
+    damping: float = 1e-6,
+) -> ICPResult:
+    """Fixed-iteration point-to-plane ICP. Returns the SE(3) correction
+    `T_delta` minimizing sum |n_tgt . (T p_src - p_tgt_nn)|^2."""
+
+    big = jnp.asarray(1e9, src_pts.dtype)
+    tgt_safe = jnp.where(tgt_valid[:, None], tgt_pts, big)
+
+    def step(T, _):
+        p = src_pts @ T[:3, :3].T + T[:3, 3]
+        d2 = jnp.sum((p[:, None, :] - tgt_safe[None, :, :]) ** 2, -1)
+        nn = jnp.argmin(d2, axis=1)  # [N]
+        nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
+        q = tgt_pts[nn]
+        n = tgt_normals[nn]
+        r = jnp.sum(n * (p - q), axis=-1)  # [N]
+        w = (
+            src_valid
+            & (nn_d2 < max_corr_dist**2)
+        ).astype(src_pts.dtype)
+
+        J = jnp.concatenate([jnp.cross(p, n), n], axis=-1)  # [N, 6]
+        A = (J * w[:, None]).T @ J + damping * jnp.eye(6)
+        b = -(J * w[:, None]).T @ r
+        xi = jnp.linalg.solve(A, b)  # [6] (omega, v)
+        R = _so3_exp(xi[:3])
+        T_step = make_se3(R, xi[3:])
+        T_new = T_step @ T
+        res = jnp.sum(jnp.abs(r) * w) / jnp.maximum(w.sum(), 1.0)
+        return T_new, res
+
+    T0 = jnp.eye(4, dtype=src_pts.dtype)
+    T_final, residuals = jax.lax.scan(step, T0, None, length=n_iterations)
+    ok = (src_valid.sum() > 10) & (tgt_valid.sum() > 10)
+    return ICPResult(
+        T_delta=jnp.where(ok, T_final, jnp.eye(4)),
+        residual=residuals[-1],
+        valid=ok,
+    )
+
+
+def icp_refine_pose(
+    key: Array,
+    TCO_pred: Array,  # [4, 4]
+    depth_measured: Array,  # [H, W] meters
+    depth_rendered: Array,  # [H, W] meters (render of TCO_pred)
+    K: Array,  # [3, 3]
+    mask: Array | None = None,  # [H, W] bool extra mask on measured depth
+    n_points: int = 1024,
+    n_iterations: int = 30,
+    depth_range: tuple[float, float] = (0.2, 5.0),
+) -> ICPResult:
+    """Full refinement of one prediction (icp_refinement:128-175):
+    sample measured/rendered surface points, centroid pre-align, then
+    point-to-plane ICP. The returned `T_delta` includes the centroid shift;
+    apply as `TCO_refined = T_delta @ TCO_pred`."""
+    H, W = depth_measured.shape
+    xyz_tgt = depth_to_xyz(depth_measured, K).reshape(-1, 3)
+    nrm_tgt = depth_normals(depth_measured, K).reshape(-1, 3)
+    xyz_src = depth_to_xyz(depth_rendered, K).reshape(-1, 3)
+
+    tgt_ok = (
+        (depth_measured > depth_range[0]) & (depth_measured < depth_range[1])
+    )
+    if mask is not None:
+        tgt_ok = tgt_ok & mask
+    # The reference restricts the measured points to pixels where the
+    # render is also valid (visible-surface correspondence).
+    tgt_ok = (tgt_ok & (depth_rendered > 0)).reshape(-1)
+    src_ok = ((depth_rendered > 0).reshape(-1)) & jnp.isfinite(
+        xyz_src
+    ).all(-1)
+
+    k1, k2 = jax.random.split(key)
+    src, src_valid, ok1 = _sample_masked(k1, xyz_src, src_ok, n_points)
+    tgt_idx_scores = jax.random.uniform(k2, tgt_ok.shape) + tgt_ok
+    _, tgt_idx = jax.lax.top_k(tgt_idx_scores, n_points)
+    tgt = xyz_tgt[tgt_idx]
+    tgt_nrm = nrm_tgt[tgt_idx]
+    tgt_valid = tgt_ok[tgt_idx]
+
+    # Centroid pre-alignment (icp_refinement:158-164).
+    w_src = src_valid.astype(src.dtype)[:, None]
+    w_tgt = tgt_valid.astype(src.dtype)[:, None]
+    c_src = (src * w_src).sum(0) / jnp.maximum(w_src.sum(), 1.0)
+    c_tgt = (tgt * w_tgt).sum(0) / jnp.maximum(w_tgt.sum(), 1.0)
+    shift = c_tgt - c_src
+    src_shifted = src + shift
+
+    result = icp_point_to_plane(
+        src_shifted, tgt, tgt_nrm, src_valid, tgt_valid,
+        n_iterations=n_iterations,
+    )
+    T_shift = jnp.eye(4).at[:3, 3].set(shift)
+    T_delta = result.T_delta @ T_shift
+    ok = result.valid & ok1
+    return ICPResult(
+        T_delta=jnp.where(ok, T_delta, jnp.eye(4)),
+        residual=result.residual,
+        valid=ok,
+    )
