@@ -89,6 +89,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _morton_sort_faces(mesh: TriMesh) -> TriMesh:
+    """Reorder faces along a 3D Morton curve of their centroids."""
+    import dataclasses as _dc
+
+    c = mesh.vertices[mesh.faces].mean(axis=1)  # [F, 3]
+    lo, hi = c.min(0), c.max(0)
+    q = ((c - lo) / np.maximum(hi - lo, 1e-12) * 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+    order = np.argsort(code, kind="stable")
+    return _dc.replace(mesh, faces=mesh.faces[order])
+
+
 @struct.dataclass
 class BatchedMeshes:
     """Padded per-label mesh arrays on device; a registered pytree.
@@ -163,6 +185,10 @@ class MeshDataBase:
             mesh = obj.load()
             if mesh.n_faces > max_faces:
                 mesh = simplify_vertex_clustering(mesh, max_faces)
+            # Morton-order faces by centroid: the tiled rasterizer skips
+            # whole face chunks per screen tile, which needs consecutive
+            # faces to be spatially adjacent (ops/rasterizer_tiled.py).
+            mesh = _morton_sort_faces(mesh)
             self.meshes[obj.label] = mesh
             # Symmetries act on the *scaled* (meters) mesh; units already
             # applied by obj.load(), so scale=1 here for discrete offsets

@@ -62,7 +62,7 @@ class PosePredictorConfig:
     mv_crop_points: int = 200  # points for multiview crop boxes (ref: 200)
     renderer: str = "tiled"  # "tiled" (Pallas) | "scan" (XLA baseline)
     face_chunk: int = 64  # scan renderer face chunk
-    max_faces_per_tile: int = 512  # tiled renderer bin capacity
+    tile_face_chunk: int = 16  # tiled renderer face-chunk granularity
     z_near: float = 0.01
 
     @property
@@ -219,7 +219,7 @@ class PosePredictor(nn.Module):
             out = rasterizer_tiled.render_meshes_tiled(
                 *render_args,
                 z_near=cfg.z_near,
-                max_faces_per_tile=cfg.max_faces_per_tile,
+                chunk=cfg.tile_face_chunk,
                 light_ambient=light_ambient,
                 light_point=light_point,
                 # The Pallas kernel runs compiled on TPU, interpreted on

@@ -1,60 +1,68 @@
-"""Tile-binned Pallas TPU rasterizer (fast visibility path).
+"""Tile-binned Pallas TPU rasterizer (fast path).
 
 The baseline renderer (`ops/rasterizer.py`) tests every face against every
-pixel — O(F * H * W) VPU work. This version matches GPU software-raster
-practice, mapped to TPU:
+pixel — O(F * H * W) VPU work — and its shading pass is per-pixel-gather
+heavy (slow on TPU). This version matches GPU software-raster practice,
+mapped to TPU, with rasterization AND shading fused into one kernel:
 
-  Phase A (XLA): per hypothesis, compute screen-space edge/1-z plane
-    coefficients per face, then bin faces to 16x128 pixel tiles (bbox
-    overlap + `top_k` index compaction to a static `max_faces_per_tile`).
-  Phase B (Pallas): grid over (batch, tile); each program streams its
-    tile's face list from VMEM in chunks, evaluates 3 edge functions + the
-    1/z plane on the 16x128 pixel block (VPU), and keeps the nearest face
-    per pixel. Chunks beyond the tile's face count are skipped with
-    `@pl.when`, so work tracks actual depth complexity instead of the
-    static bound.
-  Phase C (XLA): the existing perspective-correct shading pass
-    (`rasterizer._shade_single`) consumes the winning face ids.
+  Phase A (XLA): per hypothesis, compute per-face screen-space planes —
+    3 edge functions, the 1/z plane, and 6 attribute planes (rgb, object
+    normal; any attribute A has A/z linear in screen space) — plus a
+    per-(tile, face-chunk) overlap mask. No index compaction: top_k and
+    scatter both lower catastrophically on TPU; instead meshes are
+    Morton-ordered at preprocessing so overlap is block-sparse in the
+    face axis.
+  Phase B (Pallas): grid over (batch, tile); every program reads the
+    SAME per-face coefficient table (one VMEM block per image, no
+    gathers), skips non-overlapping face chunks via `@pl.when`, evaluates
+    the planes on its 16x128 pixel block (VPU, constants rebased to the
+    tile origin in-kernel for f32 accuracy), z-tests, and accumulates the
+    winning face's interpolants — winner selection is an id-match masked
+    max, so there are no per-pixel gathers anywhere.
+  Phase C (XLA, elementwise only): perspective divide, normal
+    normalization, object-frame axis lighting, eye-space normal mapping.
 
 Replaces the hot loop of the reference's Panda3D render farm
 (megapose6d: src/megapose/panda3d_renderer/panda3d_batch_renderer.py) with
-an on-device kernel; used by both the coarse scorer and each refiner
-iteration. Tile shape (16, 128) = two f32 VPU tiles; W is padded to 128.
+an on-device kernel; used by both the coarse scorer and every refiner
+iteration. Tile shape (16, 128) = two f32 VPU tiles.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rasterizer import RenderOutput, _shade_single, project_to_screen
+from .rasterizer import RenderOutput, project_to_screen
 
 Array = jax.Array
 
-TILE_H = 16
+TILE_H = 32
 TILE_W = 128
+N_ATTR = 6  # r, g, b, nx, ny, nz
+COEF_W = 32  # 9 edge + 3 invz + 18 attr + 2 pad
+# plane coefficient column layout: (a, b, c) triplets
+_PLANES = tuple((3 * i, 3 * i + 1, 3 * i + 2) for i in range(10))
 
 
-class _Binned(NamedTuple):
-    coefs: Array  # [B, T, MAXF, 16] f32 packed plane coefficients
-    fids: Array  # [B, T, MAXF] i32 global face ids (-1 = empty)
-    counts: Array  # [B, T] i32
-    n_tiles_h: int
-    n_tiles_w: int
+def _face_coefs(
+    screen: Array,  # [V, 3] (u, v, z)
+    normals: Array,  # [V, 3]
+    colors: Array,  # [V, 3]
+    faces: Array,  # [F, 3]
+    face_valid: Array,  # [F]
+    z_near: float,
+):
+    """Packed per-face planes `[F, COEF_W]`, bbox `[F, 4]`, valid `[F]`.
 
-
-def _face_coefs(screen: Array, faces: Array, face_valid: Array, z_near: float):
-    """Per-face packed coefficients. screen: [V, 3]; faces: [F, 3].
-
-    Returns (packed [F, 16], bbox [F, 4], valid [F]).
-    Packed layout: a0 b0 c0 a1 b1 c1 a2 b2 c2 az bz cz (pad to 16), where
-    e_i(u, v) = a_i u + b_i v + c_i are orientation-normalized edge
-    functions (inside <=> all e_i >= 0) and 1/z(u, v) = az u + bz v + cz.
+    Layout: a0 b0 c0 a1 b1 c1 a2 b2 c2 | az bz cz | 6x attr (a b c) | pad.
+    Edge functions are orientation-normalized (inside <=> all e_i >= 0);
+    attr planes interpolate attr/z (perspective-correct after dividing by
+    the interpolated 1/z).
     """
     tri = screen[faces]  # [F, 3, 3]
     u = tri[..., 0]
@@ -66,179 +74,178 @@ def _face_coefs(screen: Array, faces: Array, face_valid: Array, z_near: float):
     area = t1 - t2
     s = jnp.where(area >= 0, 1.0, -1.0)
     abs_area = jnp.abs(area)
-    # Scale-aware degeneracy cull (see rasterizer.py: FMA noise).
+    # Scale-aware degeneracy cull (FMA noise on the cross product reaches
+    # ~1e-4 px^2 at 100px coordinates; see rasterizer.py).
     area_ok = abs_area > 1e-5 * (jnp.abs(t1) + jnp.abs(t2) + 1e-9)
-    valid = (
-        face_valid
-        & area_ok
-        & (jnp.min(z, axis=1) > z_near)
-    )
+    valid = face_valid & area_ok & (jnp.min(z, axis=1) > z_near)
 
     def edge(i, j):
-        # E(p) = (u_j - u_i)(v_p - v_i) - (v_j - v_i)(u_p - u_i)
         a = -(v[:, j] - v[:, i])
         b = u[:, j] - u[:, i]
         c = (v[:, j] - v[:, i]) * u[:, i] - (u[:, j] - u[:, i]) * v[:, i]
         return a * s, b * s, c * s
 
-    a0, b0, c0 = edge(1, 2)
-    a1, b1, c1 = edge(2, 0)
-    a2, b2, c2 = edge(0, 1)
+    e = [edge(1, 2), edge(2, 0), edge(0, 1)]  # barycentric order 0,1,2
+    inv_area = jnp.where(area_ok, 1.0 / abs_area, 0.0)
 
     iz = 1.0 / jnp.maximum(z, 1e-6)  # [F, 3]
-    inv_area = jnp.where(area_ok, 1.0 / abs_area, 0.0)
-    az = (a0 * iz[:, 0] + a1 * iz[:, 1] + a2 * iz[:, 2]) * inv_area
-    bz = (b0 * iz[:, 0] + b1 * iz[:, 1] + b2 * iz[:, 2]) * inv_area
-    cz = (c0 * iz[:, 0] + c1 * iz[:, 1] + c2 * iz[:, 2]) * inv_area
 
-    zeros = jnp.zeros_like(a0)
-    packed = jnp.stack(
-        [a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz,
-         zeros, zeros, zeros, zeros],
-        axis=-1,
-    )
+    def plane(g):
+        """Plane coefficients of sum_i lambda_i * g_i (g: [F, 3])."""
+        a = (e[0][0] * g[:, 0] + e[1][0] * g[:, 1] + e[2][0] * g[:, 2]) * inv_area
+        b = (e[0][1] * g[:, 0] + e[1][1] * g[:, 1] + e[2][1] * g[:, 2]) * inv_area
+        c = (e[0][2] * g[:, 0] + e[1][2] * g[:, 1] + e[2][2] * g[:, 2]) * inv_area
+        return a, b, c
+
+    cols = []
+    for (a, b, c) in e:
+        cols += [a, b, c]
+    cols += list(plane(iz))
+    n_f = normals[faces]  # [F, 3, 3]
+    c_f = colors[faces]
+    for k in range(3):
+        cols += list(plane(c_f[..., k] * iz))  # rgb / z
+    for k in range(3):
+        cols += list(plane(n_f[..., k] * iz))  # n_obj / z
+    cols += [jnp.zeros_like(area), jnp.zeros_like(area)]
+    packed = jnp.stack(cols, axis=-1)  # [F, 32]
+
     bbox = jnp.stack(
         [jnp.min(u, 1), jnp.min(v, 1), jnp.max(u, 1), jnp.max(v, 1)], -1
     )
     return packed, bbox, valid
 
 
-def _bin_single(
+def _prepare_single(
     screen: Array,
+    normals: Array,
+    colors: Array,
     faces: Array,
     face_valid: Array,
     resolution: tuple[int, int],
-    max_faces_per_tile: int,
+    chunk: int,
     z_near: float,
 ):
-    """Phase A for one image. Returns (coefs [T, MAXF, 16], fids [T, MAXF],
-    counts [T])."""
+    """Phase A for one image -> (coefs [F, 32], active chunk ids
+    [T, n_chunks], n_active [T]).
+
+    No compaction: the kernel reads the shared per-face coefficient table
+    and skips face chunks that do not overlap its tile (top_k/scatter
+    compaction both lower catastrophically on TPU). Spatially-ordered
+    faces (Morton sort at mesh preprocessing, mesh_db.py) make the
+    overlap mask block-sparse.
+    """
     H, W = resolution
     n_th = (H + TILE_H - 1) // TILE_H
     n_tw = (W + TILE_W - 1) // TILE_W
-    T = n_th * n_tw
     F = faces.shape[0]
-    MAXF = min(max_faces_per_tile, F)
+    assert F % chunk == 0, (F, chunk)
 
-    packed, bbox, valid = _face_coefs(screen, faces, face_valid, z_near)
+    packed, bbox, valid = _face_coefs(
+        screen, normals, colors, faces, face_valid, z_near
+    )
+    # Invalid faces can never pass the inside test.
+    neutral = jnp.zeros((COEF_W,), packed.dtype).at[2].set(-1e30)
+    packed = jnp.where(valid[:, None], packed, neutral)
 
-    ty = jnp.arange(n_th) * TILE_H
-    tx = jnp.arange(n_tw) * TILE_W
-    # Tile bounds [T, 4]: x0, y0, x1, y1.
-    tx0 = jnp.tile(tx, n_th)
-    ty0 = jnp.repeat(ty, n_tw)
-    tx1 = tx0 + TILE_W
-    ty1 = ty0 + TILE_H
-
+    ty0 = jnp.repeat(jnp.arange(n_th) * TILE_H, n_tw)  # [T]
+    tx0 = jnp.tile(jnp.arange(n_tw) * TILE_W, n_th)
     overlap = (
-        (bbox[None, :, 0] < tx1[:, None])
+        (bbox[None, :, 0] < (tx0 + TILE_W)[:, None])
         & (bbox[None, :, 2] >= tx0[:, None])
-        & (bbox[None, :, 1] < ty1[:, None])
+        & (bbox[None, :, 1] < (ty0 + TILE_H)[:, None])
         & (bbox[None, :, 3] >= ty0[:, None])
         & valid[None, :]
     )  # [T, F]
-
-    counts = jnp.minimum(overlap.sum(axis=1), MAXF).astype(jnp.int32)
-    # Compact to the first MAXF overlapping face indices per tile.
+    n_chunks = F // chunk
+    chunk_mask = overlap.reshape(overlap.shape[0], n_chunks, chunk).any(-1)
+    # Compact ACTIVE chunk indices, ascending (a tiny top_k over <=256
+    # chunk slots — unlike face-level compaction this is cheap). The
+    # kernel then runs a dynamic-trip-count loop over exactly the active
+    # chunks: no Mosaic loop unrolling (compile time) and no wasted work.
     score = jnp.where(
-        overlap, (F - jnp.arange(F, dtype=jnp.int32))[None, :], 0
+        chunk_mask, n_chunks - jnp.arange(n_chunks, dtype=jnp.int32), 0
     )
-    top_vals, top_idx = jax.lax.top_k(score, MAXF)  # [T, MAXF]
-    fids = jnp.where(top_vals > 0, top_idx.astype(jnp.int32), -1)
-    coefs = packed[jnp.maximum(fids, 0)]  # [T, MAXF, 16]
-    # Rebase the constant terms to the tile origin so the kernel evaluates
-    # planes at local coordinates (<= 128): avoids f32 cancellation of the
-    # expanded a*u+b*v+c form at large pixel coordinates.
-    ox = tx0.astype(packed.dtype)[:, None]  # [T, 1]
-    oy = ty0.astype(packed.dtype)[:, None]
-    for (ai, bi, ci) in ((0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)):
-        c_new = coefs[..., ci] + coefs[..., ai] * ox + coefs[..., bi] * oy
-        coefs = coefs.at[..., ci].set(c_new)
-    # Neutralize empty slots (inside-test can never pass: c0 = -1, a=b=0).
-    empty = (fids < 0)[..., None]
-    neutral = jnp.zeros((16,), packed.dtype).at[2].set(-1e30)
-    coefs = jnp.where(empty, neutral, coefs)
-    return coefs, fids, counts
+    _, ids = jax.lax.top_k(score, n_chunks)  # active ascending first
+    n_active = chunk_mask.sum(axis=1).astype(jnp.int32)  # [T]
+    return packed, ids.astype(jnp.int32), n_active
 
 
 def _visibility_kernel(
-    count_ref,  # SMEM [1, 1, 1, 1]
-    coef_ref,  # VMEM [1, 1, MAXF, 16]
-    fid_ref,  # VMEM [1, 1, MAXF, 16] (global ids broadcast in last dim)
-    invz_ref,  # out VMEM [1, 1, TILE_H, TILE_W]
-    best_fid_ref,  # out VMEM [1, 1, TILE_H, TILE_W] i32
+    meta_ref,  # SMEM [1, 1, 1, 1 + n_chunks] i32: [n_active, ids...]
+    coef_ref,  # VMEM [1, F, 32] (shared across tiles)
+    invz_ref,  # out [1, 1, TILE_H, TILE_W] f32
+    fid_out_ref,  # out [1, 1, TILE_H, TILE_W] i32
+    attr_ref,  # out [1, 1, N_ATTR * TILE_H, TILE_W] f32 (attr-major)
     *,
     chunk: int,
     n_tiles_w: int,
 ):
-    # Plane coefficients are rebased to the tile origin in phase A, so
-    # pixel coordinates here are tile-local.
-    px_v = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
-    px_u = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
+    t = pl.program_id(1)
+    row0 = ((t // n_tiles_w) * TILE_H).astype(jnp.float32)
+    col0 = ((t % n_tiles_w) * TILE_W).astype(jnp.float32)
+    px_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+        jnp.float32
+    )
+    px_u = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+        jnp.float32
+    )
 
     invz_ref[0, 0] = jnp.full((TILE_H, TILE_W), -jnp.inf, jnp.float32)
-    best_fid_ref[0, 0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+    fid_out_ref[0, 0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+    attr_ref[0, 0] = jnp.zeros((N_ATTR * TILE_H, TILE_W), jnp.float32)
 
-    count = count_ref[0, 0, 0, 0]
-    maxf = coef_ref.shape[2]
-    n_chunks = maxf // chunk
+    def body(i, _):
+        ci = meta_ref[0, 0, 0, 1 + i]
+        cf = coef_ref[0, pl.ds(ci * chunk, chunk), :]  # [CH, 32]
+        gid = ci * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, 1, 1), 0
+        )
 
-    def body(ci, _):
-        @pl.when(ci * chunk < count)
-        def _():
-            cf = coef_ref[0, 0, pl.ds(ci * chunk, chunk), :]  # [CH, 16]
-            gid = fid_ref[0, 0, pl.ds(ci * chunk, chunk), :]  # [CH, 16]
+        def ev(k):
+            a = cf[:, 3 * k][:, None, None]
+            b = cf[:, 3 * k + 1][:, None, None]
+            # Rebase the constant to the tile origin in-kernel (f32
+            # accuracy: local pixel coords are <= 128).
+            c = cf[:, 3 * k + 2][:, None, None] + a * col0 + b * row0
+            return a * px_u + b * px_v + c  # [CH, H, W]
 
-            def px(col):
-                return cf[:, col][:, None, None]
+        e0, e1, e2 = ev(0), ev(1), ev(2)
+        iz = ev(3)
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        cand = jnp.where(inside, iz, -jnp.inf)
 
-            e0 = px(0) * px_u + px(1) * px_v + px(2)
-            e1 = px(3) * px_u + px(4) * px_v + px(5)
-            e2 = px(6) * px_u + px(7) * px_v + px(8)
-            iz = px(9) * px_u + px(10) * px_v + px(11)
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-            cand = jnp.where(inside, iz, -jnp.inf)  # [CH, H, W]
+        c_best = jnp.max(cand, axis=0)  # [H, W]
+        # Winner id via masked max (ids unique; no gathers in Mosaic).
+        c_fid = jnp.max(jnp.where(cand >= c_best[None], gid, -1), axis=0)
+        better = c_best > invz_ref[0, 0]
+        match = (gid == c_fid[None]) & inside  # [CH, H, W]
 
-            c_best = jnp.max(cand, axis=0)  # [H, W]
-            c_arg = jnp.argmax(cand, axis=0)  # [H, W]
-            # Map chunk-local winner to its global face id.
-            gcol = gid[:, 0]  # [CH] i32 global ids
-            c_fid = gcol[c_arg]
-
-            better = c_best > invz_ref[0, 0]
-            invz_ref[0, 0] = jnp.where(better, c_best, invz_ref[0, 0])
-            best_fid_ref[0, 0] = jnp.where(
-                better, c_fid, best_fid_ref[0, 0]
+        invz_ref[0, 0] = jnp.where(better, c_best, invz_ref[0, 0])
+        fid_out_ref[0, 0] = jnp.where(better, c_fid, fid_out_ref[0, 0])
+        for k in range(N_ATTR):
+            val = ev(4 + k)
+            sel = jnp.max(jnp.where(match, val, -jnp.inf), axis=0)
+            row = slice(k * TILE_H, (k + 1) * TILE_H)
+            attr_ref[0, 0, row, :] = jnp.where(
+                better, sel, attr_ref[0, 0, row, :]
             )
-
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    jax.lax.fori_loop(0, meta_ref[0, 0, 0, 0], body, 0)
 
 
 def _run_visibility(
-    coefs: Array,  # [B, T, MAXF, 16]
-    fids: Array,  # [B, T, MAXF]
-    counts: Array,  # [B, T]
-    n_tiles_h: int,
+    coefs: Array,  # [B, F, 32]
+    chunk_ids: Array,  # [B, T, n_chunks] i32
+    n_active: Array,  # [B, T] i32
     n_tiles_w: int,
     chunk: int = 16,
     interpret: bool = False,
-) -> tuple[Array, Array]:
-    B, T, MAXF, _ = coefs.shape
-    if MAXF % chunk:
-        pad = chunk - MAXF % chunk
-        neutral = jnp.zeros((16,), coefs.dtype).at[2].set(-1e30)
-        coefs = jnp.concatenate(
-            [coefs, jnp.broadcast_to(neutral, (B, T, pad, 16))], axis=2
-        )
-        fids = jnp.concatenate(
-            [fids, jnp.full((B, T, pad), -1, fids.dtype)], axis=2
-        )
-        MAXF += pad
-    # fid as [B, T, MAXF, 16] i32 broadcast in last dim for clean tiling.
-    fids16 = jnp.broadcast_to(fids[..., None], (B, T, MAXF, 16))
-    counts2 = counts.reshape(B, T, 1, 1).astype(jnp.int32)
+):
+    B, F, _ = coefs.shape
+    T = chunk_ids.shape[1]
+    n_chunks = chunk_ids.shape[2]
 
     kernel = functools.partial(
         _visibility_kernel, chunk=chunk, n_tiles_w=n_tiles_w
@@ -246,22 +253,22 @@ def _run_visibility(
     out_shape = (
         jax.ShapeDtypeStruct((B, T, TILE_H, TILE_W), jnp.float32),
         jax.ShapeDtypeStruct((B, T, TILE_H, TILE_W), jnp.int32),
+        jax.ShapeDtypeStruct((B, T, N_ATTR * TILE_H, TILE_W), jnp.float32),
     )
-    grid = (B, T)
-    invz, best_fid = pl.pallas_call(
+    meta = jnp.concatenate(
+        [n_active[..., None], chunk_ids], axis=-1
+    )[:, :, None, :].astype(jnp.int32)
+    invz, best_fid, attrs = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(B, T),
         in_specs=[
+            # 4D so the (last-two-dims) block rule sees (1, META) == array.
             pl.BlockSpec(
-                (1, 1, 1, 1), lambda b, t: (b, t, 0, 0),
+                (1, 1, 1, 1 + n_chunks), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 1, MAXF, 16), lambda b, t: (b, t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, MAXF, 16), lambda b, t: (b, t, 0, 0),
+                (1, F, COEF_W), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -274,21 +281,24 @@ def _run_visibility(
                 (1, 1, TILE_H, TILE_W), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, 1, N_ATTR * TILE_H, TILE_W), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(counts2, coefs, fids16)
-    return invz, best_fid
+    )(meta, coefs)
+    return invz, best_fid, attrs
 
 
-def _tiles_to_image(
-    tiles: Array, n_tiles_h: int, n_tiles_w: int, H: int, W: int
-) -> Array:
+def _tiles_to_image(tiles: Array, n_th: int, n_tw: int, H: int, W: int) -> Array:
     """[B, T, TILE_H, TILE_W] -> [B, H, W]."""
     B = tiles.shape[0]
-    img = tiles.reshape(B, n_tiles_h, n_tiles_w, TILE_H, TILE_W)
-    img = jnp.moveaxis(img, 2, 3)  # [B, th, TILE_H, tw, TILE_W]
-    img = img.reshape(B, n_tiles_h * TILE_H, n_tiles_w * TILE_W)
+    img = tiles.reshape(B, n_th, n_tw, TILE_H, TILE_W)
+    img = jnp.moveaxis(img, 2, 3).reshape(
+        B, n_th * TILE_H, n_tw * TILE_W
+    )
     return img[:, :H, :W]
 
 
@@ -302,7 +312,6 @@ def render_meshes_tiled(
     K: Array,
     resolution: tuple[int, int],
     z_near: float = 0.01,
-    max_faces_per_tile: int = 512,
     chunk: int = 16,
     light_ambient: float | Array = 0.1,
     light_point: float | Array = 0.4,
@@ -310,7 +319,7 @@ def render_meshes_tiled(
 ) -> RenderOutput:
     """Drop-in replacement for `rasterizer.render_meshes` (same outputs)."""
     H, W = resolution
-    B = TCO.shape[0]
+    B, F = faces.shape[:2]
     n_th = (H + TILE_H - 1) // TILE_H
     n_tw = (W + TILE_W - 1) // TILE_W
 
@@ -319,31 +328,53 @@ def render_meshes_tiled(
     screen = project_to_screen(vertices, TCO, K)
     face_valid = face_valid & finite[..., None]
 
-    coefs, fids, counts = jax.vmap(
-        lambda s, f, fv: _bin_single(
-            s, f, fv, resolution, max_faces_per_tile, z_near
-        )
-    )(screen, faces, face_valid)
+    if F % chunk:
+        pad = chunk - F % chunk
+        faces = jnp.pad(faces, ((0, 0), (0, pad), (0, 0)))
+        face_valid = jnp.pad(face_valid, ((0, 0), (0, pad)))
+        F += pad
 
-    invz_t, fid_t = _run_visibility(
-        coefs, fids, counts, n_th, n_tw, chunk=chunk, interpret=interpret
-    )
-    face_id = _tiles_to_image(fid_t, n_th, n_tw, H, W).reshape(B, H * W)
-
-    amb = jnp.broadcast_to(jnp.asarray(light_ambient, screen.dtype), (B,))
-    pnt = jnp.broadcast_to(jnp.asarray(light_point, screen.dtype), (B,))
-    rgb, nrm, depth, mask = jax.vmap(
-        lambda s, n, c, f, R, fi, a, p: _shade_single(
-            s, n, c, f, R, fi, resolution, a, p
+    coefs, chunk_ids, n_active = jax.vmap(
+        lambda s_, n, c, f, fv: _prepare_single(
+            s_, n, c, f, fv, resolution, chunk, z_near
         )
-    )(
-        screen,
-        normals,
-        colors,
-        faces,
-        TCO[..., :3, :3],
-        face_id,
-        amb,
-        pnt,
+    )(screen, normals, colors, faces, face_valid)
+
+    invz_t, fid_t, attr_t = _run_visibility(
+        coefs, chunk_ids, n_active, n_tw, chunk=chunk, interpret=interpret
     )
-    return RenderOutput(rgb=rgb, normals=nrm, depth=depth, mask=mask)
+
+    invz = _tiles_to_image(invz_t, n_th, n_tw, H, W)
+    fid = _tiles_to_image(fid_t, n_th, n_tw, H, W)
+    attr_t = attr_t.reshape(B, -1, N_ATTR, TILE_H, TILE_W)
+    attrs = jnp.stack(
+        [
+            _tiles_to_image(attr_t[:, :, k], n_th, n_tw, H, W)
+            for k in range(N_ATTR)
+        ],
+        axis=-1,
+    )  # [B, H, W, 6]
+
+    hit = fid >= 0
+    invz_safe = jnp.maximum(invz, 1e-6)
+    depth = jnp.where(hit, 1.0 / invz_safe, 0.0)
+    attrs = attrs / invz_safe[..., None]  # perspective divide
+    albedo = jnp.clip(attrs[..., 0:3], 0.0, 1.0)
+    n_obj = attrs[..., 3:6]
+    n_obj = n_obj / jnp.maximum(
+        jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-9
+    )
+    amb = jnp.broadcast_to(
+        jnp.asarray(light_ambient, jnp.float32), (B,)
+    )[:, None, None, None]
+    pnt = jnp.broadcast_to(
+        jnp.asarray(light_point, jnp.float32), (B,)
+    )[:, None, None, None]
+    intensity = amb + pnt * jnp.sum(jnp.abs(n_obj), -1, keepdims=True)
+    rgb = jnp.where(hit[..., None], jnp.clip(albedo * intensity, 0, 1), 0.0)
+    n_eye = jnp.einsum(
+        "bij,bhwj->bhwi", TCO[:, :3, :3], n_obj,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    normals_img = jnp.where(hit[..., None], (n_eye + 1.0) * 0.5, 0.0)
+    return RenderOutput(rgb=rgb, normals=normals_img, depth=depth, mask=hit)

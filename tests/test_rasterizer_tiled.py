@@ -91,12 +91,12 @@ def test_nonfinite_and_empty():
     assert not np.asarray(tiled.mask).any()
 
 
-def test_max_faces_per_tile_cap():
+def test_chunk_sizes_equivalent():
+    """Chunk granularity must not change the image (only skip efficiency)."""
     sph = make_uv_sphere(0.04, 16, 24)
-    # An under-provisioned cap drops faces in dense tiles; coverage must
-    # degrade gracefully, not collapse.
-    ref, tiled = both(sph, pose_z(0.4), max_faces_per_tile=256)
-    overlap = (
-        np.asarray(ref.mask) & np.asarray(tiled.mask)
-    ).sum() / max(np.asarray(ref.mask).sum(), 1)
-    assert overlap > 0.9
+    _, t16 = both(sph, pose_z(0.4), chunk=16)
+    _, t32 = both(sph, pose_z(0.4), chunk=32)
+    np.testing.assert_array_equal(np.asarray(t16.mask), np.asarray(t32.mask))
+    np.testing.assert_allclose(
+        np.asarray(t16.depth), np.asarray(t32.depth), atol=1e-6
+    )
