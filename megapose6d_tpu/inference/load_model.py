@@ -1,0 +1,151 @@
+"""Model zoo registry + loader.
+
+Re-design of the reference's `utils/load_model.py:8-89` and
+`inference/utils.py:load_pose_models:80-148`. The four megapose-1.0
+configurations are reproduced exactly (model flags + inference
+parameters); weights come from this framework's own training runs (the
+reference's torch checkpoints are GPU/torch artifacts — no converter can
+exist without them on disk; train equivalents with
+scripts/run_training.py and register the run dirs via `runs=` below).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import jax
+
+from ..meshes.mesh_db import MeshDataBase, RigidObjectDataset
+from ..models.pose_predictor import (
+    PosePredictor,
+    make_coarse_config,
+    make_refiner_config,
+)
+from .pose_estimator import PoseEstimator
+from .types import InferenceConfig
+
+NAMED_MODELS: dict[str, dict[str, Any]] = {
+    # (utils/load_model.py:8-47)
+    "megapose-1.0-RGB": {
+        "requires_depth": False,
+        "refiner_kwargs": {},
+        "inference_parameters": {
+            "n_refiner_iterations": 5,
+            "n_pose_hypotheses": 1,
+        },
+    },
+    "megapose-1.0-RGBD": {
+        "requires_depth": True,
+        "refiner_kwargs": {
+            "input_depth": True,
+            "render_depth": True,
+            "depth_normalization_type": "tCR_scale_clamp_center",
+        },
+        "inference_parameters": {
+            "n_refiner_iterations": 5,
+            "n_pose_hypotheses": 1,
+        },
+    },
+    "megapose-1.0-RGB-multi-hypothesis": {
+        "requires_depth": False,
+        "refiner_kwargs": {},
+        "inference_parameters": {
+            "n_refiner_iterations": 5,
+            "n_pose_hypotheses": 5,
+        },
+    },
+    "megapose-1.0-RGB-multi-hypothesis-icp": {
+        "requires_depth": True,
+        "refiner_kwargs": {},
+        "depth_refiner": "ICP",
+        "inference_parameters": {
+            "n_refiner_iterations": 5,
+            "n_pose_hypotheses": 5,
+            "run_depth_refiner": True,
+        },
+    },
+}
+
+
+def load_named_model(
+    model_name: str,
+    object_dataset: RigidObjectDataset,
+    runs: dict[str, str | Path] | None = None,
+    max_faces: int = 4096,
+    compute_dtype: str | None = None,
+    **inference_overrides,
+) -> PoseEstimator:
+    """Build a full PoseEstimator for a NAMED_MODELS configuration
+    (utils/load_model.py:load_named_model:50-89).
+
+    Args:
+      runs: {"coarse": run_dir, "refiner": run_dir} training runs holding
+        weights; None initializes random weights (pipeline smoke mode).
+    """
+    info = NAMED_MODELS[model_name]
+    runs = runs or {}
+    mesh_db = MeshDataBase.from_object_ds(
+        object_dataset, max_faces=max_faces
+    ).batched()
+
+    dtype = compute_dtype or (
+        "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+    )
+
+    def build(role: str, make_cfg, extra_kwargs):
+        run_dir = runs.get(role)
+        if run_dir is not None:
+            from ..training.config import load_config
+            from ..training.train import create_train_state, load_checkpoint
+            from ..models.pose_predictor import PosePredictorConfig
+
+            cfg = load_config(Path(run_dir) / "config.json")
+            model = PosePredictor(
+                PosePredictorConfig(**cfg.model_config_kwargs())
+            )
+            state = create_train_state(
+                cfg, model, mesh_db, jax.random.PRNGKey(0)
+            )
+            state, _ = load_checkpoint(run_dir, state)
+            return model, state.params
+        model = PosePredictor(
+            make_cfg(compute_dtype=dtype, **extra_kwargs)
+        )
+        import jax.numpy as jnp
+
+        dummy = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 48, 64, 3), jnp.float32),
+            jnp.eye(3)[None] * 100.0,
+            jnp.eye(4)[None].at[0, 2, 3].set(0.5),
+            mesh_db.select(jnp.zeros((1,), jnp.int32)),
+        )
+        return model, dummy
+
+    coarse, cparams = build("coarse", make_coarse_config, {})
+    refiner, rparams = build(
+        "refiner", make_refiner_config, dict(info.get("refiner_kwargs", {}))
+    )
+
+    params = dict(info["inference_parameters"])
+    params.update(inference_overrides)
+    cfg = InferenceConfig(
+        **{
+            k: v
+            for k, v in params.items()
+            if k in {f.name for f in dataclasses.fields(InferenceConfig)}
+        }
+    )
+
+    depth_refiner = None
+    if info.get("depth_refiner") == "ICP" or cfg.run_depth_refiner:
+        from .depth_refiner import ICPRefiner
+
+        depth_refiner = ICPRefiner(mesh_db)
+
+    return PoseEstimator(
+        coarse, cparams, refiner, rparams, mesh_db, cfg,
+        depth_refiner=depth_refiner,
+    )

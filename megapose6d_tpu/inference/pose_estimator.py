@@ -70,6 +70,8 @@ class PoseEstimator:
         refiner_params: Any,
         mesh_db: BatchedMeshes,
         cfg: InferenceConfig = InferenceConfig(),
+        depth_refiner=None,
+        detector=None,
     ):
         self.coarse_model = coarse_model
         self.coarse_params = coarse_params
@@ -77,6 +79,8 @@ class PoseEstimator:
         self.refiner_params = refiner_params
         self.mesh_db = mesh_db
         self.cfg = cfg
+        self.depth_refiner = depth_refiner
+        self.detector = detector
         self.so3_grid = so3_grid.make_so3_grid(cfg.SO3_grid_size)
         self.timing_: dict[str, float] = {}
 
@@ -268,7 +272,8 @@ class PoseEstimator:
     def run_inference_pipeline(
         self,
         observation,
-        detections: PandasTensorCollection,
+        detections: PandasTensorCollection | None = None,
+        run_detector: bool | None = None,
         n_refiner_iterations: int | None = None,
         n_pose_hypotheses: int | None = None,
         keep_all_coarse_outputs: bool = False,
@@ -278,14 +283,25 @@ class PoseEstimator:
 
         Args:
           observation: `data.types.ObservationTensor` with batch size 1.
-          detections: DetectionsType (infos.label + bboxes [D, 4]).
+          detections: DetectionsType (infos.label + bboxes [D, 4]); if
+            None and `run_detector`, boxes come from `self.detector`
+            (pose_estimator.py:543-554).
         Returns:
           (PoseEstimatesType with one row per detection, extra_data dict).
         """
         cfg = self.cfg
         n_iter = n_refiner_iterations or cfg.n_refiner_iterations
         top_k = n_pose_hypotheses or cfg.n_pose_hypotheses
+        do_depth = (
+            cfg.run_depth_refiner
+            if run_depth_refiner is None
+            else run_depth_refiner
+        )
         assert observation.batch_size == 1
+        if detections is None:
+            assert run_detector and self.detector is not None
+            detections = self.detector.get_detections(observation)
+        assert len(detections) > 0, "no detections"
 
         timing: dict[str, float] = {}
         t_start = time.monotonic()
@@ -366,6 +382,29 @@ class PoseEstimator:
             pose_logits_dk, best[:, None], axis=1
         )[:, 0]
 
+        # --- optional depth refinement (pose_estimator.py:616-621) ------
+        depth_extra = None
+        if do_depth and self.depth_refiner is not None:
+            t0 = time.monotonic()
+            assert observation.channels == 4, "depth refiner needs depth"
+            import pandas as pd  # noqa: F401 (local)
+
+            infos_tmp = detections.infos.copy()
+            preds_tmp = PandasTensorCollection(
+                infos_tmp, poses=np.asarray(TCO_best)[:D_real]
+            )
+            refined, depth_extra = self.depth_refiner.refine_poses(
+                preds_tmp,
+                depth=observation.depth,
+                K=observation.K,
+            )
+            TCO_best = jnp.asarray(
+                np.concatenate(
+                    [refined.poses, np.asarray(TCO_best)[D_real:]], axis=0
+                )
+            )
+            timing["depth_refiner"] = time.monotonic() - t0
+
         timing["total"] = time.monotonic() - t_start
         self.timing_ = timing
 
@@ -396,4 +435,6 @@ class PoseEstimator:
         }
         if keep_all_coarse_outputs:
             extra["coarse"]["all_TCO"] = np.asarray(TCO_init)[:D_real]
+        if depth_extra is not None:
+            extra["depth_refiner"] = depth_extra
         return data, extra

@@ -87,45 +87,40 @@ def crop_images(
     out_h, out_w = output_size
 
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    bw = x2 - x1
-    bh = y2 - y1
-    # Sample at output-bin centers (roi_align aligned=False convention:
-    # src = x1 + (j + 0.5) * bin_w - 0.5).
-    jj = (jnp.arange(out_w, dtype=images.dtype) + 0.5) / out_w
-    ii = (jnp.arange(out_h, dtype=images.dtype) + 0.5) / out_h
-    sx = x1[:, None] + jj[None, :] * bw[:, None] - 0.5  # [B, out_w]
-    sy = y1[:, None] + ii[None, :] * bh[:, None] - 0.5  # [B, out_h]
+    # jax.image.scale_and_translate maps input coordinate i to output
+    # o = i * s + t; we want i = x1 + (o + 0.5) * (bw / out_w) - 0.5,
+    # i.e. s = out_w / bw, t = s * (0.5 - x1) - 0.5. It lowers to
+    # separable weight matmuls (MXU) — per-pixel gathers are slow on TPU.
+    sx = out_w / jnp.maximum(x2 - x1, 1e-6)
+    sy = out_h / jnp.maximum(y2 - y1, 1e-6)
+    tx = sx * (0.5 - x1) - 0.5
+    ty = sy * (0.5 - y1) - 0.5
+    scale = jnp.stack([sy, sx], axis=-1)  # [B, 2] (h, w order)
+    translation = jnp.stack([ty, tx], axis=-1)
 
-    def sample_one(img, sx_b, sy_b):
-        # img: [H, W, C]; returns [out_h, out_w, C]
-        x0 = jnp.floor(sx_b)
-        y0 = jnp.floor(sy_b)
-        wx = sx_b - x0  # [out_w]
-        wy = sy_b - y0  # [out_h]
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-        x1i = jnp.clip(x0i + 1, 0, W - 1)
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-        y1i = jnp.clip(y0i + 1, 0, H - 1)
-        # Out-of-image samples read the clamped border (roi_align zeroes
-        # them; border-clamp is friendlier for the CNN and only differs for
-        # boxes leaving the image).
-        g00 = img[y0i[:, None], x0i[None, :]]
-        g01 = img[y0i[:, None], x1i[None, :]]
-        g10 = img[y1i[:, None], x0i[None, :]]
-        g11 = img[y1i[:, None], x1i[None, :]]
-        wx_ = wx[None, :, None]
-        wy_ = wy[:, None, None]
-        top = g00 * (1 - wx_) + g01 * wx_
-        bot = g10 * (1 - wx_) + g11 * wx_
-        return top * (1 - wy_) + bot * wy_
+    def sample_one(img, s, t):
+        return jax.image.scale_and_translate(
+            img,
+            (out_h, out_w, C),
+            spatial_dims=(0, 1),
+            scale=s,
+            translation=t,
+            method="linear",
+        )
 
-    crops = jax.vmap(sample_one)(images, sx, sy)
+    crops = jax.vmap(sample_one)(images, scale, translation)
 
     if depth_dim is not None:
         valid = (
             images[..., depth_dim : depth_dim + 1] > 0
         ).astype(images.dtype)
-        valid_crop = jax.vmap(sample_one)(valid, sx, sy)
+
+        def sample_valid(v, s, t):
+            return jax.image.scale_and_translate(
+                v, (out_h, out_w, 1), (0, 1), s, t, method="linear"
+            )
+
+        valid_crop = jax.vmap(sample_valid)(valid, scale, translation)
         mask = (valid_crop >= 0.99).astype(images.dtype)
         crops = crops.at[..., depth_dim : depth_dim + 1].multiply(mask)
     return crops

@@ -1,0 +1,191 @@
+"""TPU-native synthetic dataset generation.
+
+The reference generates its 2M-image training set by driving BlenderProc
+(CPU/GPU raytracing) in per-chunk subprocesses
+(megapose6d: src/megapose/scripts/generate_shapenet_pbr.py:768-840). The
+TPU-native counterpart renders multi-object scenes with the on-device
+rasterizer — orders of magnitude faster per frame — and writes the same
+webdataset shard format the training pipeline reads
+(data/web_scene_dataset.py). Chunk-resumable like the reference (existing
+shards are skipped).
+
+Usage:
+    python -m megapose6d_tpu.scripts.generate_synthetic_dataset \\
+        out_dir=local_data/webdatasets/synth n_frames=10000 \\
+        [object_dataset=ycbv] [resolution=480,640] [n_obj_per_scene=3]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.scene_dataset import ObservationInfos, SceneObservation
+from ..data.types import CameraData, ObjectData
+from ..data.web_scene_dataset import write_scene_ds_as_wds
+from ..meshes.mesh_db import MeshDataBase
+from ..ops import rasterizer_tiled
+from ..ops.se3 import make_se3, rotmat_from_quat
+from ..ops.so3_grid import super_fibonacci_quats
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def make_scene_renderer(mesh_db, n_obj: int, resolution, f: float):
+    """Jitted multi-object scene render: per-object renders + z-composite.
+
+    Returns fn(key) -> (rgb [H,W,3], depth, seg [H,W] i32, TCO [n_obj,4,4],
+    mesh_idx [n_obj])."""
+    H, W = resolution
+    K1 = jnp.asarray(
+        [[f, 0.0, W / 2 - 0.5], [0.0, f, H / 2 - 0.5], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    quat_pool = jnp.asarray(super_fibonacci_quats(4096), jnp.float32)
+
+    def fn(key):
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        L = mesh_db.n_labels
+        mesh_idx = jax.random.randint(k1, (n_obj,), 0, L)
+        q = quat_pool[jax.random.randint(k2, (n_obj,), 0, len(quat_pool))]
+        R = rotmat_from_quat(q)
+        z = jax.random.uniform(k3, (n_obj, 1), minval=0.5, maxval=1.2)
+        xy = jax.random.uniform(k4, (n_obj, 2), minval=-0.12, maxval=0.12)
+        TCO = make_se3(R, jnp.concatenate([xy * z, z], -1))
+        meshes = mesh_db.select(mesh_idx)
+        K = jnp.broadcast_to(K1, (n_obj, 3, 3))
+        amb = jax.random.uniform(k5, (n_obj,), minval=0.7, maxval=1.0)
+        out = rasterizer_tiled.render_meshes_tiled(
+            meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
+            meshes.face_valid, TCO, K, (H, W),
+            light_ambient=amb, light_point=0.25,
+            interpret=jax.default_backend() == "cpu",
+        )
+        # z-composite the n_obj layers.
+        depth_l = jnp.where(out.mask, out.depth, jnp.inf)  # [n, H, W]
+        winner = jnp.argmin(depth_l, axis=0)  # [H, W]
+        any_hit = out.mask.any(axis=0)
+        take = lambda a: jnp.take_along_axis(
+            a, winner[None, ..., None] if a.ndim == 4 else winner[None],
+            axis=0,
+        )[0]
+        rgb = jnp.where(any_hit[..., None], take(out.rgb), 0.0)
+        depth = jnp.where(any_hit, take(out.depth), 0.0)
+        seg = jnp.where(any_hit, winner + 1, 0).astype(jnp.int32)
+        return rgb, depth, seg, TCO, mesh_idx, K1
+
+    return jax.jit(fn)
+
+
+def generate(
+    mesh_db,
+    out_dir: str | Path,
+    n_frames: int,
+    resolution=(480, 640),
+    n_obj_per_scene: int = 3,
+    f: float = 600.0,
+    frames_per_shard: int = 1000,
+    seed: int = 0,
+):
+    out_dir = Path(out_dir)
+    render = make_scene_renderer(mesh_db, n_obj_per_scene, resolution, f)
+    labels = mesh_db.labels
+
+    def observations():
+        key = jax.random.PRNGKey(seed)
+        for i in range(n_frames):
+            key, sub = jax.random.split(key)
+            rgb, depth, seg, TCO, mesh_idx, K = render(sub)
+            rgb8 = np.asarray(
+                jnp.clip(rgb * 255, 0, 255).astype(jnp.uint8)
+            )
+            seg_np = np.asarray(seg).astype(np.uint32)
+            object_datas = []
+            for n in range(n_obj_per_scene):
+                ys, xs = np.nonzero(seg_np == n + 1)
+                if len(ys) < 16:
+                    continue
+                object_datas.append(
+                    ObjectData(
+                        label=labels[int(mesh_idx[n])],
+                        TWO=np.asarray(TCO[n], np.float64),
+                        unique_id=n + 1,
+                        bbox_modal=np.asarray(
+                            [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
+                            np.float64,
+                        ),
+                        visib_fract=1.0,
+                    )
+                )
+            yield SceneObservation(
+                rgb=rgb8,
+                depth=np.asarray(depth, np.float32),
+                segmentation=seg_np,
+                infos=ObservationInfos(scene_id=str(i // 100), view_id=i),
+                object_datas=object_datas,
+                camera_data=CameraData(
+                    K=np.asarray(K, np.float64), resolution=resolution
+                ),
+            )
+            if (i + 1) % 500 == 0:
+                logger.info(f"rendered {i + 1}/{n_frames} frames")
+
+    shards = write_scene_ds_as_wds(
+        observations(), out_dir, frames_per_shard=frames_per_shard
+    )
+    logger.info(f"wrote {len(shards)} shards to {out_dir}")
+    return shards
+
+
+def main(argv=None):
+    args = dict(
+        out_dir="synth_wds",
+        n_frames="1000",
+        object_dataset="",
+        resolution="480,640",
+        n_obj_per_scene="3",
+        frames_per_shard="1000",
+        seed="0",
+    )
+    for a in sys.argv[1:] if argv is None else argv:
+        k, _, v = a.partition("=")
+        assert k in args, f"unknown arg {k}"
+        args[k] = v
+
+    if args["object_dataset"]:
+        from ..data.datasets_cfg import make_object_dataset
+
+        objects = make_object_dataset(args["object_dataset"])
+    else:
+        from ..meshes.io import make_cube, make_uv_sphere
+        from ..meshes.mesh_db import RigidObject, RigidObjectDataset
+
+        objects = RigidObjectDataset(
+            [
+                RigidObject(label="cube", mesh=make_cube(0.04, (0.8, 0.2, 0.2))),
+                RigidObject(
+                    label="sphere",
+                    mesh=make_uv_sphere(0.04, color=(0.2, 0.4, 0.8)),
+                ),
+            ]
+        )
+    mesh_db = MeshDataBase.from_object_ds(objects).batched()
+    res = tuple(int(x) for x in args["resolution"].split(","))
+    generate(
+        mesh_db,
+        args["out_dir"],
+        int(args["n_frames"]),
+        resolution=res,
+        n_obj_per_scene=int(args["n_obj_per_scene"]),
+        frames_per_shard=int(args["frames_per_shard"]),
+        seed=int(args["seed"]),
+    )
+
+
+if __name__ == "__main__":
+    main()

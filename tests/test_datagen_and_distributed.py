@@ -1,0 +1,114 @@
+import json
+
+import numpy as np
+import pytest
+
+from megapose6d_tpu.data.web_scene_dataset import WebSceneDataset
+from megapose6d_tpu.meshes import (
+    MeshDataBase,
+    RigidObject,
+    RigidObjectDataset,
+    make_cube,
+    make_uv_sphere,
+)
+
+
+def test_generate_synthetic_dataset(tmp_path):
+    from megapose6d_tpu.scripts.generate_synthetic_dataset import generate
+
+    objs = RigidObjectDataset(
+        [
+            RigidObject(label="cube", mesh=make_cube(0.04)),
+            RigidObject(label="sphere", mesh=make_uv_sphere(0.04, 8, 12)),
+        ]
+    )
+    mesh_db = MeshDataBase.from_object_ds(
+        objs, max_faces=256, n_points=64, n_sym=2
+    ).batched(align=32)
+    shards = generate(
+        mesh_db, tmp_path / "wds", n_frames=5, resolution=(64, 128),
+        n_obj_per_scene=2, f=120.0, frames_per_shard=3,
+    )
+    assert len(shards) == 2
+    ds = WebSceneDataset(tmp_path / "wds", load_depth=True)
+    assert len(ds) == 5
+    obs = ds[0]
+    assert obs.rgb.shape == (64, 128, 3)
+    assert obs.rgb.max() > 10  # objects visible
+    assert obs.depth.max() > 0.2
+    assert (obs.segmentation > 0).sum() > 50
+    assert len(obs.object_datas) >= 1
+    for od in obs.object_datas:
+        assert od.label in ("cube", "sphere")
+        assert 0.3 < od.TWO[2, 3] < 1.5
+        x1, y1, x2, y2 = od.bbox_modal
+        assert 0 <= x1 < x2 <= 128 and 0 <= y1 < y2 <= 64
+    # Round-trips through PoseDataset.
+    from megapose6d_tpu.data.pose_dataset import PoseDataset
+
+    pose_ds = PoseDataset(
+        None, resize=(64, 128), apply_rgb_augmentation=False, min_area=25.0
+    )
+    data = pose_ds.make_data_from_obs(obs)
+    assert data.rgb.shape == (64, 128, 3)
+
+
+def test_reduce_dict_single_process():
+    from megapose6d_tpu.parallel.distributed import (
+        gather_collections,
+        get_rank,
+        get_world_size,
+        reduce_dict,
+    )
+
+    assert get_world_size() == 1 and get_rank() == 0
+    out = reduce_dict({"a": 1.0, "b": 2.0})
+    assert out == {"a": 1.0, "b": 2.0}
+
+    import pandas as pd
+
+    from megapose6d_tpu.data.tensor_collection import PandasTensorCollection
+
+    tc = PandasTensorCollection(
+        pd.DataFrame({"label": ["x"]}), poses=np.eye(4)[None]
+    )
+    gathered = gather_collections(tc)
+    assert len(gathered) == 1
+
+
+def test_plot_logs(tmp_path):
+    from megapose6d_tpu.utils.plot_logs import load_logs, plot_logs
+
+    run = tmp_path / "run1"
+    run.mkdir()
+    with open(run / "log.txt", "w") as fh:
+        for e in range(3):
+            fh.write(
+                json.dumps(
+                    {"epoch": e + 1, "loss_total": 1.0 / (e + 1),
+                     "grad_norm": 0.5}
+                )
+                + "\n"
+            )
+    logs = load_logs([run])
+    assert len(logs["run1"]) == 3
+    plot_logs([run], out_path=tmp_path / "curves.png")
+    assert (tmp_path / "curves.png").exists()
+
+
+def test_resources_and_random():
+    from megapose6d_tpu.utils.random import get_unique_seed, seed_everything
+    from megapose6d_tpu.utils.resources import (
+        device_memory_stats,
+        host_memory_rss_mb,
+    )
+
+    s1, s2 = get_unique_seed(), get_unique_seed()
+    assert s1 != s2
+    seed_everything(123)
+    a = np.random.rand(3)
+    seed_everything(123)
+    np.testing.assert_allclose(a, np.random.rand(3))
+    stats = device_memory_stats()
+    assert "bytes_in_use" in stats
+    assert host_memory_rss_mb() > 10
