@@ -269,6 +269,69 @@ class PoseEstimator:
     # public API
     # ------------------------------------------------------------------
 
+    def _run_external_init(
+        self, observation, detections, n_iter: int, do_depth: bool
+    ) -> tuple[PandasTensorCollection, dict]:
+        """Refine externally-provided initial poses (ModelNet protocol)."""
+        timing: dict[str, float] = {}
+        t_start = time.monotonic()
+        D_real = len(detections)
+        labels = list(detections.infos["label"])
+        mesh_idx = jnp.asarray(self.mesh_db.label_to_index(labels))
+        images = jnp.asarray(observation.images)
+        K = jnp.asarray(observation.K)
+        TCO_init = jnp.asarray(detections.TCO_init, jnp.float32)
+
+        t0 = time.monotonic()
+        TCO_refined, traj = self._refine(
+            min(self.cfg.bsz_objects, D_real),
+            n_iter,
+            self.refiner_params,
+            images,
+            K,
+            TCO_init,
+            mesh_idx,
+        )
+        TCO_refined.block_until_ready()
+        timing["refiner"] = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        logits = self._rescore(
+            min(self.cfg.bsz_objects, D_real),
+            self.coarse_params,
+            images,
+            K,
+            TCO_refined,
+            mesh_idx,
+        )
+        logits.block_until_ready()
+        timing["scoring"] = time.monotonic() - t0
+
+        poses_np = np.asarray(TCO_refined)
+        depth_extra = None
+        if do_depth and self.depth_refiner is not None:
+            preds_tmp = PandasTensorCollection(
+                detections.infos.copy(), poses=poses_np
+            )
+            refined, depth_extra = self.depth_refiner.refine_poses(
+                preds_tmp, depth=observation.depth, K=observation.K
+            )
+            poses_np = np.asarray(refined.poses)
+
+        timing["total"] = time.monotonic() - t_start
+        self.timing_ = timing
+        infos = detections.infos.copy()
+        infos["pose_logit"] = np.asarray(logits)
+        infos["pose_score"] = np.asarray(jax.nn.sigmoid(logits))
+        data = PandasTensorCollection(infos, poses=poses_np)
+        extra = {
+            "timing": timing,
+            "refiner": {"trajectory": np.asarray(traj)},
+        }
+        if depth_extra is not None:
+            extra["depth_refiner"] = depth_extra
+        return data, extra
+
     def run_inference_pipeline(
         self,
         observation,
@@ -302,6 +365,16 @@ class PoseEstimator:
             assert run_detector and self.detector is not None
             detections = self.detector.get_detections(observation)
         assert len(detections) > 0, "no detections"
+        if cfg.coarse_estimation_type == "external":
+            # ModelNet protocol: refine a provided initial pose, skip the
+            # SO(3)-grid coarse stage (pose_estimator.py external path;
+            # prediction_runner.py:96-118 TWO_init).
+            assert "TCO_init" in detections.tensors, (
+                "external coarse estimation needs detections.TCO_init"
+            )
+            return self._run_external_init(
+                observation, detections, n_iter, do_depth
+            )
 
         timing: dict[str, float] = {}
         t_start = time.monotonic()

@@ -160,6 +160,35 @@ class BatchedMeshes:
         )
 
 
+def save_batched_meshes(path, batched: "BatchedMeshes") -> None:
+    """Serialize a padded mesh DB to one .npz (the preprocessing-cache
+    analog of the reference's make_* mesh scripts + joblib MEMORY)."""
+    arrays = {
+        k: np.asarray(getattr(batched, k))
+        for k in (
+            "vertices", "normals", "colors", "faces", "face_valid",
+            "points", "symmetries", "sym_valid", "diameters",
+        )
+    }
+    np.savez_compressed(path, labels=np.asarray(batched.labels), **arrays)
+
+
+def load_batched_meshes(path) -> "BatchedMeshes":
+    data = np.load(path, allow_pickle=False)
+    return BatchedMeshes(
+        vertices=jnp.asarray(data["vertices"]),
+        normals=jnp.asarray(data["normals"]),
+        colors=jnp.asarray(data["colors"]),
+        faces=jnp.asarray(data["faces"]),
+        face_valid=jnp.asarray(data["face_valid"]),
+        points=jnp.asarray(data["points"]),
+        symmetries=jnp.asarray(data["symmetries"]),
+        sym_valid=jnp.asarray(data["sym_valid"]),
+        diameters=jnp.asarray(data["diameters"]),
+        labels=tuple(str(l) for l in data["labels"]),
+    )
+
+
 class MeshDataBase:
     """Host-side mesh DB; `batched()` produces the device `BatchedMeshes`.
 
