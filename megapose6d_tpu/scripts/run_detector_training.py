@@ -1,0 +1,165 @@
+"""Detector training CLI (synthetic on-device scenes).
+
+The reference trains its Mask R-CNN with a separate torchvision pipeline
+(src/megapose/training/train_detector.py analog in the cosypose lineage);
+here the CenterNet-style detector trains on the same on-device synthetic
+scene generator used for datagen — no external data needed to bootstrap.
+
+Usage:
+    python -m megapose6d_tpu.scripts.run_detector_training \\
+        run_id=det n_steps=2000 batch_size=16 [object_dataset=ycbv]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..meshes.mesh_db import MeshDataBase
+from ..models.detector import (
+    CenterNetDetector,
+    DetectorConfig,
+    detection_loss,
+)
+from ..scripts.generate_synthetic_dataset import make_scene_renderer
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def make_batch_fn(mesh_db, batch_size, resolution, n_obj, f=400.0):
+    render = make_scene_renderer(mesh_db, n_obj, resolution, f)
+
+    def fn(key):
+        keys = jax.random.split(key, batch_size)
+        rgbs, boxes, classes, valids = [], [], [], []
+        for k in keys:  # traced loop unrolls; batch_size is small
+            rgb, depth, seg, TCO, mesh_idx, _ = render(k)
+            rgbs.append(rgb)
+            # Boxes from per-object projected masks: use seg extents.
+            obj_boxes, obj_valid = [], []
+            for n in range(n_obj):
+                m = seg == n + 1
+                any_hit = m.any()
+                ys = jnp.where(
+                    m.any(axis=1), jnp.arange(m.shape[0]), m.shape[0]
+                )
+                xs = jnp.where(
+                    m.any(axis=0), jnp.arange(m.shape[1]), m.shape[1]
+                )
+                y1 = jnp.min(ys)
+                x1 = jnp.min(xs)
+                ys2 = jnp.where(m.any(axis=1), jnp.arange(m.shape[0]), -1)
+                xs2 = jnp.where(m.any(axis=0), jnp.arange(m.shape[1]), -1)
+                y2 = jnp.max(ys2) + 1
+                x2 = jnp.max(xs2) + 1
+                obj_boxes.append(
+                    jnp.stack([x1, y1, x2, y2]).astype(jnp.float32)
+                )
+                obj_valid.append(any_hit)
+            boxes.append(jnp.stack(obj_boxes))
+            classes.append(mesh_idx)
+            valids.append(jnp.stack(obj_valid))
+        return (
+            jnp.stack(rgbs),
+            jnp.stack(boxes),
+            jnp.stack(classes),
+            jnp.stack(valids),
+        )
+
+    return jax.jit(fn)
+
+
+def main(argv=None):
+    args = dict(
+        run_id="detector", run_dir="runs", n_steps="1000", batch_size="8",
+        resolution="240,320", n_obj_per_scene="2", lr="1e-3", width="32",
+        object_dataset="", log_every="50", seed="0",
+    )
+    for a in sys.argv[1:] if argv is None else argv:
+        k, _, v = a.partition("=")
+        assert k in args, f"unknown arg {k}"
+        args[k] = v
+
+    if args["object_dataset"]:
+        from ..data.datasets_cfg import make_object_dataset
+
+        objects = make_object_dataset(args["object_dataset"])
+    else:
+        from ..meshes.io import make_cube, make_uv_sphere
+        from ..meshes.mesh_db import RigidObject, RigidObjectDataset
+
+        objects = RigidObjectDataset(
+            [
+                RigidObject(label="cube", mesh=make_cube(0.04)),
+                RigidObject(label="sphere", mesh=make_uv_sphere(0.04)),
+            ]
+        )
+    mesh_db = MeshDataBase.from_object_ds(objects).batched()
+    resolution = tuple(int(x) for x in args["resolution"].split(","))
+    n_obj = int(args["n_obj_per_scene"])
+    batch_size = int(args["batch_size"])
+
+    cfg = DetectorConfig(n_classes=mesh_db.n_labels, width=int(args["width"]))
+    model = CenterNetDetector(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1,) + resolution + (3,), jnp.float32),
+    )
+    tx = optax.adam(float(args["lr"]))
+    opt_state = tx.init(params)
+    batch_fn = make_batch_fn(mesh_db, batch_size, resolution, n_obj)
+
+    @jax.jit
+    def step(params, opt_state, rgbs, boxes, classes, valids):
+        def loss_fn(p):
+            out = model.apply(p, rgbs)
+            return detection_loss(out, boxes, classes, valids, cfg.stride)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    run_dir = Path(args["run_dir"]) / args["run_id"]
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "labels.json").write_text(json.dumps(list(mesh_db.labels)))
+
+    key = jax.random.PRNGKey(int(args["seed"]))
+    t0 = time.monotonic()
+    for i in range(int(args["n_steps"])):
+        key, sub = jax.random.split(key)
+        rgbs, boxes, classes, valids = batch_fn(sub)
+        params, opt_state, loss, aux = step(
+            params, opt_state, rgbs, boxes, classes, valids
+        )
+        if (i + 1) % int(args["log_every"]) == 0:
+            log = {
+                "step": i + 1,
+                "loss": float(loss),
+                **{k: float(v) for k, v in aux.items()},
+                "time": time.monotonic() - t0,
+            }
+            logger.info(str(log))
+            with open(run_dir / "log.txt", "a") as fh:
+                fh.write(json.dumps(log) + "\n")
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        (run_dir / "checkpoints" / "final").absolute(), {"params": params},
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    logger.info(f"saved detector to {run_dir}")
+
+
+if __name__ == "__main__":
+    main()
