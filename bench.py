@@ -137,8 +137,8 @@ def bench_pipeline(mesh_db):
         SO3_grid_size=576,
         n_refiner_iterations=5,
         n_pose_hypotheses=5,
-        bsz_images=144,
-        bsz_objects=16,
+        bsz_images=64,
+        bsz_objects=8,
         max_detections=1,
     )
     est = PoseEstimator(coarse, cparams, refiner, rparams, mesh_db, cfg)

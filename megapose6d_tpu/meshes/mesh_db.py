@@ -89,6 +89,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _normalize_winding(mesh: TriMesh) -> TriMesh:
+    """Flip all faces if the signed volume is negative, so closed meshes
+    are consistently outward-CCW — the precondition for the rasterizer's
+    backface culling (camera-facing faces then have negative screen-space
+    area; see ops/rasterizer_tiled.py)."""
+    import dataclasses as _dc
+
+    v = mesh.vertices[mesh.faces]
+    vol = float(
+        np.einsum("fi,fi->f", v[:, 0], np.cross(v[:, 1], v[:, 2])).sum()
+    )
+    if vol < 0:
+        mesh = _dc.replace(mesh, faces=mesh.faces[:, [0, 2, 1]])
+    return mesh
+
+
 def _morton_sort_faces(mesh: TriMesh) -> TriMesh:
     """Reorder faces along a 3D Morton curve of their centroids."""
     import dataclasses as _dc
@@ -217,7 +233,7 @@ class MeshDataBase:
             # Morton-order faces by centroid: the tiled rasterizer skips
             # whole face chunks per screen tile, which needs consecutive
             # faces to be spatially adjacent (ops/rasterizer_tiled.py).
-            mesh = _morton_sort_faces(mesh)
+            mesh = _morton_sort_faces(_normalize_winding(mesh))
             self.meshes[obj.label] = mesh
             # Symmetries act on the *scaled* (meters) mesh; units already
             # applied by obj.load(), so scale=1 here for discrete offsets

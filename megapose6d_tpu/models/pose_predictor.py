@@ -63,6 +63,7 @@ class PosePredictorConfig:
     renderer: str = "tiled"  # "tiled" (Pallas) | "scan" (XLA baseline)
     face_chunk: int = 64  # scan renderer face chunk
     tile_face_chunk: int = 16  # tiled renderer face-chunk granularity
+    backface_cull: bool = True  # meshes from MeshDataBase are winding-normalized
     z_near: float = 0.01
 
     @property
@@ -220,6 +221,7 @@ class PosePredictor(nn.Module):
                 *render_args,
                 z_near=cfg.z_near,
                 chunk=cfg.tile_face_chunk,
+                backface_cull=cfg.backface_cull,
                 light_ambient=light_ambient,
                 light_point=light_point,
                 # The Pallas kernel runs compiled on TPU, interpreted on

@@ -56,6 +56,7 @@ def _face_coefs(
     faces: Array,  # [F, 3]
     face_valid: Array,  # [F]
     z_near: float,
+    backface_cull: bool = False,
 ):
     """Packed per-face planes `[F, COEF_W]`, bbox `[F, 4]`, valid `[F]`.
 
@@ -78,6 +79,12 @@ def _face_coefs(
     # ~1e-4 px^2 at 100px coordinates; see rasterizer.py).
     area_ok = abs_area > 1e-5 * (jnp.abs(t1) + jnp.abs(t2) + 1e-9)
     valid = face_valid & area_ok & (jnp.min(z, axis=1) > z_near)
+    if backface_cull:
+        # Outward-CCW winding (mesh_db normalizes it) projects camera-
+        # facing faces to NEGATIVE screen area (screen y points down).
+        # For closed meshes backfaces never win the z-test; culling them
+        # halves the kernel's face work.
+        valid = valid & (area < 0)
 
     def edge(i, j):
         a = -(v[:, j] - v[:, i])
@@ -125,6 +132,7 @@ def _prepare_single(
     resolution: tuple[int, int],
     chunk: int,
     z_near: float,
+    backface_cull: bool = False,
 ):
     """Phase A for one image -> (coefs [F, 32], active chunk ids
     [T, n_chunks], n_active [T]).
@@ -142,7 +150,8 @@ def _prepare_single(
     assert F % chunk == 0, (F, chunk)
 
     packed, bbox, valid = _face_coefs(
-        screen, normals, colors, faces, face_valid, z_near
+        screen, normals, colors, faces, face_valid, z_near,
+        backface_cull=backface_cull,
     )
     # Invalid faces can never pass the inside test.
     neutral = jnp.zeros((COEF_W,), packed.dtype).at[2].set(-1e30)
@@ -315,9 +324,14 @@ def render_meshes_tiled(
     chunk: int = 16,
     light_ambient: float | Array = 0.1,
     light_point: float | Array = 0.4,
+    backface_cull: bool = False,
     interpret: bool = False,
 ) -> RenderOutput:
-    """Drop-in replacement for `rasterizer.render_meshes` (same outputs)."""
+    """Drop-in replacement for `rasterizer.render_meshes` (same outputs).
+
+    `backface_cull=True` requires outward-CCW winding (guaranteed for
+    meshes from `MeshDataBase`) and closed surfaces; it halves face work.
+    """
     H, W = resolution
     B, F = faces.shape[:2]
     n_th = (H + TILE_H - 1) // TILE_H
@@ -336,7 +350,8 @@ def render_meshes_tiled(
 
     coefs, chunk_ids, n_active = jax.vmap(
         lambda s_, n, c, f, fv: _prepare_single(
-            s_, n, c, f, fv, resolution, chunk, z_near
+            s_, n, c, f, fv, resolution, chunk, z_near,
+            backface_cull=backface_cull,
         )
     )(screen, normals, colors, faces, face_valid)
 

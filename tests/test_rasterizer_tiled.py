@@ -100,3 +100,35 @@ def test_chunk_sizes_equivalent():
     np.testing.assert_allclose(
         np.asarray(t16.depth), np.asarray(t32.depth), atol=1e-6
     )
+
+
+def test_backface_cull_equivalence():
+    """For closed outward-CCW meshes, culling must not change the image."""
+    from megapose6d_tpu.meshes import (
+        MeshDataBase,
+        RigidObject,
+        RigidObjectDataset,
+    )
+    import jax.numpy as jnp
+
+    objs = RigidObjectDataset(
+        [RigidObject(label="s", mesh=make_uv_sphere(0.04, 12, 16))]
+    )
+    db = MeshDataBase.from_object_ds(
+        objs, max_faces=512, n_points=64, n_sym=2
+    ).batched(align=32)
+    m = db.select(jnp.zeros((1,), jnp.int32))
+    T = pose_z(0.4)
+    args = (
+        m.vertices, m.normals, m.colors, m.faces, m.face_valid,
+        jnp.asarray(T)[None], jnp.asarray(K)[None], (H, W),
+    )
+    out0 = render_meshes_tiled(*args, backface_cull=False, interpret=True)
+    out1 = render_meshes_tiled(*args, backface_cull=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out0.mask), np.asarray(out1.mask))
+    np.testing.assert_allclose(
+        np.asarray(out0.depth), np.asarray(out1.depth), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out0.rgb), np.asarray(out1.rgb), atol=1e-6
+    )
