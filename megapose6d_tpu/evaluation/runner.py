@@ -60,9 +60,14 @@ class PredictionRunner:
 
     def get_predictions(self) -> dict[str, PandasTensorCollection]:
         """Per-view pipeline over this shard's frames
-        (prediction_runner.py:120-209). Returns dict keyed like the
-        reference: 'final', 'refiner/final', 'coarse_logits' stages."""
-        all_final: list[PandasTensorCollection] = []
+        (prediction_runner.py:120-209). Returns stage-keyed collections
+        like the reference: 'final' plus 'refiner/iteration=N' snapshots
+        of the best hypothesis at each refiner iteration."""
+        stages: dict[str, list[PandasTensorCollection]] = {}
+
+        def add(key, data):
+            stages.setdefault(key, []).append(data)
+
         for frame_id in self.frame_ids:
             obs = self.scene_ds[int(frame_id)]
             if not obs.gt_detections():
@@ -73,12 +78,21 @@ class PredictionRunner:
             data.infos["scene_id"] = int(obs.infos.scene_id)
             data.infos["view_id"] = int(obs.infos.view_id)
             data.infos["time"] = elapsed
-            all_final.append(data)
-        if not all_final:
+            add("final", data)
+            traj = extra.get("refiner", {}).get("trajectory")
+            if traj is not None and traj.ndim == 5:
+                # [n_iter, D, K, 4, 4] -> best hypothesis (slot of final
+                # top-1 unknown per iter; use hypothesis 0 = coarse best).
+                for it in range(traj.shape[0]):
+                    it_data = PandasTensorCollection(
+                        data.infos.copy(), poses=traj[it, :, 0]
+                    )
+                    add(f"refiner/iteration={it + 1}", it_data)
+        if not stages:
             return {"final": PandasTensorCollection(
                 pd.DataFrame(columns=["label"]), poses=np.zeros((0, 4, 4))
             )}
-        return {"final": concatenate(all_final)}
+        return {k: concatenate(v) for k, v in stages.items()}
 
 
 class EvaluationRunner:
