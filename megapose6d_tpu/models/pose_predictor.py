@@ -109,7 +109,21 @@ class PosePredictor(nn.Module):
             self.cfg.backbone, self.cfg.n_features, dtype=dtype
         )
         if self.cfg.predict_pose_update:
-            self.pose_fc = nn.Dense(9, param_dtype=jnp.float32)
+            # Identity-update initialization: bias = ortho6d identity
+            # (x=(1,0,0), y=(0,1,0)) + vxvy=0 + vz=1, so an untrained
+            # head leaves the pose unchanged. The reference's zero-init
+            # head outputs vz~0, which collapses depth through the
+            # update's multiplicative z (ztgt = vz * zsrc) and costs
+            # thousands of Adam steps just to drift vz to 1.
+            identity_bias = jnp.asarray(
+                [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32
+            )
+            self.pose_fc = nn.Dense(
+                9,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros,
+                bias_init=lambda key, shape, dtype=jnp.float32: identity_bias,
+            )
         if self.cfg.predict_rendered_views_logits:
             self.views_logits_fc = nn.Dense(
                 self.cfg.n_rendered_views, param_dtype=jnp.float32

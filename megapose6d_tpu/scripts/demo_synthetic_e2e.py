@@ -40,13 +40,24 @@ from ..utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def _position_colored(mesh):
+    """Color vertices by normalized position: breaks every rotational
+    symmetry so the pose is identifiable from appearance."""
+    import dataclasses as _dc
+
+    v = mesh.vertices
+    lo, hi = v.min(0), v.max(0)
+    colors = ((v - lo) / np.maximum(hi - lo, 1e-9)).astype(np.float32)
+    return _dc.replace(mesh, vertex_colors=0.15 + 0.85 * colors)
+
+
 def build_world(max_faces=1024):
     objs = RigidObjectDataset(
         [
-            RigidObject(label="cube", mesh=make_cube(0.045, (0.85, 0.25, 0.2))),
+            RigidObject(label="cube", mesh=_position_colored(make_cube(0.045))),
             RigidObject(
                 label="sphere",
-                mesh=make_uv_sphere(0.04, 24, 32, color=(0.2, 0.45, 0.85)),
+                mesh=_position_colored(make_uv_sphere(0.04, 24, 32)),
             ),
         ]
     )

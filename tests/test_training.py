@@ -113,7 +113,15 @@ def test_hypotheses_coarse_multiview(mesh_db):
 
 
 def test_refiner_train_step_decreases_loss(mesh_db):
-    cfg = make_refiner_cfg(small_cfg())
+    # Large init noise so the loss starts well above the identity-update
+    # floor (the pose head initializes to the identity update).
+    cfg = make_refiner_cfg(
+        small_cfg(
+            init_euler_deg_std=(40.0, 40.0, 40.0),
+            init_trans_std=(0.04, 0.04, 0.12),
+            lr=2e-3,
+        )
+    )
     cfg = dataclasses.replace(
         cfg, n_rendered_views=1, multiview_type="front_1view", n_iterations=1
     )
@@ -128,13 +136,12 @@ def test_refiner_train_step_decreases_loss(mesh_db):
     batch = batch_fn(jax.random.PRNGKey(3))  # fixed batch: overfit signal
 
     losses = []
-    key = jax.random.PRNGKey(0)
-    for i in range(8):
+    for i in range(22):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(42), 1)
         losses.append(float(metrics["loss_total"]))
         assert np.isfinite(losses[-1])
     # Overfitting a single fixed batch with fixed noise must reduce loss.
-    assert losses[-1] < losses[0], losses
+    assert np.mean(losses[-5:]) < np.mean(losses[:3]), losses
 
 
 def test_coarse_train_step(mesh_db):
