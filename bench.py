@@ -71,7 +71,7 @@ def bench_renders(mesh_db, n_hyp=64, iters=5, resolution=(240, 320), mode="tiled
     def render(TCO):
         if mode == "tiled":
             out = render_meshes_tiled(
-                *args, TCO, K, resolution,
+                *args, TCO, K, resolution, backface_cull=True,
                 interpret=jax.default_backend() == "cpu",
             )
         else:

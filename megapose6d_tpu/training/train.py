@@ -213,6 +213,8 @@ def train(
     log_fn: Callable[[dict], None] | None = None,
     device_mesh=None,
     input_res: tuple[int, int] | None = None,
+    val_iterator: Iterator[BatchPoseData] | None = None,
+    n_val_batches: int = 4,
 ) -> TrainState:
     """Generic loop over a batch iterator (host or device side).
 
@@ -234,6 +236,16 @@ def train(
     n_epochs = n_epochs or cfg.n_epochs
     steps_per_epoch = steps_per_epoch or max(1, cfg.epoch_size // cfg.batch_size)
     log_path = run_dir / "log.txt"
+
+    val_loss_fn = None
+    if val_iterator is not None:
+        # Forward-only loss (no grads/update), jitted once.
+        val_loss_fn = jax.jit(
+            lambda params, batch, key, n_it: forward_loss(
+                params, model, cfg, batch, mesh_db, key, n_it
+            )[0],
+            static_argnums=(3,),
+        )
 
     for epoch in range(1, n_epochs + 1):
         if cfg.add_iteration_epoch_interval > 0:
@@ -258,6 +270,21 @@ def train(
             n_iterations=n_iter,
             time_per_epoch=time.monotonic() - t0,
         )
+        # Validation (train_megapose.py:356-369).
+        if (
+            val_loss_fn is not None
+            and epoch % max(1, cfg.val_epoch_interval) == 0
+        ):
+            val_losses = []
+            for _ in range(n_val_batches):
+                vb = next(val_iterator)
+                if device_mesh is not None:
+                    vb = mesh_lib.shard_batch(vb, device_mesh)
+                key, sub = jax.random.split(key)
+                val_losses.append(
+                    float(val_loss_fn(state.params, vb, sub, n_iter))
+                )
+            log["val_loss"] = float(np.mean(val_losses))
         with open(log_path, "a") as fh:
             fh.write(json.dumps(log) + "\n")
         if log_fn:
