@@ -21,6 +21,29 @@ from ..meshes.mesh_db import BatchedMeshes
 from ..ops import icp, rasterizer_tiled
 
 
+def compute_masks(
+    mask_type: str,
+    depth_rendered,
+    depth_measured,
+    depth_delta_thresh: float = 0.1,
+):
+    """Object masks for depth refinement
+    (inference/refiner_utils.py:compute_masks): 'simple' = rendered
+    footprint; 'threshold' also rejects pixels whose measured depth
+    deviates from the render by more than `depth_delta_thresh`."""
+    import jax.numpy as jnp
+
+    rendered_ok = depth_rendered > 0
+    if mask_type == "simple":
+        return rendered_ok
+    if mask_type == "threshold":
+        delta = jnp.abs(depth_measured - depth_rendered)
+        return rendered_ok & (depth_measured > 0) & (
+            delta < depth_delta_thresh
+        )
+    raise ValueError(mask_type)
+
+
 class DepthRefiner(abc.ABC):
     """Interface parity with inference/depth_refiner.py:29-52."""
 

@@ -58,6 +58,51 @@ def make_detections(
     )
 
 
+def filter_detections(
+    detections: PandasTensorCollection,
+    labels: list[str] | None = None,
+    one_instance_per_class: bool = False,
+) -> PandasTensorCollection:
+    """Label-set and one-instance-per-class filtering
+    (inference/utils.py:filter_detections:174)."""
+    keep = np.ones(len(detections), bool)
+    if labels is not None:
+        keep &= detections.infos["label"].isin(labels).to_numpy()
+    out = detections[np.nonzero(keep)[0]]
+    if one_instance_per_class and len(out):
+        order = np.argsort(-out.infos["score"].to_numpy())
+        seen: set[str] = set()
+        sel = []
+        for i in order:
+            lbl = out.infos.iloc[i]["label"]
+            if lbl not in seen:
+                seen.add(lbl)
+                sel.append(i)
+        out = out[np.asarray(sorted(sel), int)]
+    return out
+
+
+def add_instance_id(
+    detections: PandasTensorCollection,
+) -> PandasTensorCollection:
+    """Assign per-(batch_im_id, label) instance ids
+    (inference/utils.py:add_instance_id:151)."""
+    infos = detections.infos.copy()
+    infos["instance_id"] = infos.groupby(
+        ["batch_im_id", "label"], sort=False
+    ).cumcount()
+    return PandasTensorCollection(infos, **detections.tensors)
+
+
+def make_cameras(camera_datas) -> PandasTensorCollection:
+    """CameraData list -> camera collection (inference/utils.py:197)."""
+    infos = pd.DataFrame(
+        {"batch_im_id": np.arange(len(camera_datas), dtype=np.int64)}
+    )
+    K = np.stack([np.asarray(c.K, np.float32) for c in camera_datas])
+    return PandasTensorCollection(infos, K=K)
+
+
 def make_pose_estimates(
     labels: list[str],
     poses: np.ndarray,

@@ -171,3 +171,51 @@ def test_object_dataset_loaders(tmp_path):
     )
     ds2 = make_directory_object_dataset(flat, mesh_units="m")
     assert ds2.labels == ["thing"]
+
+
+def test_inference_utils_helpers():
+    import pandas as pd
+
+    from megapose6d_tpu.data.types import CameraData
+    from megapose6d_tpu.inference.types import (
+        add_instance_id,
+        filter_detections,
+        make_cameras,
+        make_detections,
+    )
+
+    det = make_detections(
+        ["a", "b", "a"],
+        np.asarray([[0, 0, 1, 1], [0, 0, 2, 2], [0, 0, 3, 3]], np.float32),
+        scores=np.asarray([0.9, 0.8, 0.95]),
+    )
+    only_a = filter_detections(det, labels=["a"])
+    assert list(only_a.infos["label"]) == ["a", "a"]
+    oipc = filter_detections(det, one_instance_per_class=True)
+    assert len(oipc) == 2
+    assert set(oipc.infos["label"]) == {"a", "b"}
+    # The higher-scoring 'a' (0.95) survives.
+    a_row = oipc.infos[oipc.infos["label"] == "a"].iloc[0]
+    assert abs(a_row["score"] - 0.95) < 1e-6
+
+    det2 = add_instance_id(det)
+    a_ids = det2.infos[det2.infos["label"] == "a"]["instance_id"].tolist()
+    assert sorted(a_ids) == [0, 1]
+
+    cams = make_cameras(
+        [CameraData(K=np.eye(3) * 100, resolution=(48, 64))] * 2
+    )
+    assert cams.K.shape == (2, 3, 3)
+
+
+def test_compute_masks():
+    import jax.numpy as jnp
+
+    from megapose6d_tpu.inference.depth_refiner import compute_masks
+
+    rend = jnp.asarray([[0.0, 0.5], [0.5, 0.5]])
+    meas = jnp.asarray([[0.5, 0.5], [0.0, 0.9]])
+    simple = np.asarray(compute_masks("simple", rend, meas))
+    assert simple.tolist() == [[False, True], [True, True]]
+    thr = np.asarray(compute_masks("threshold", rend, meas, 0.1))
+    assert thr.tolist() == [[False, True], [False, False]]
