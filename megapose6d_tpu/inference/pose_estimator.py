@@ -72,6 +72,7 @@ class PoseEstimator:
         cfg: InferenceConfig = InferenceConfig(),
         depth_refiner=None,
         detector=None,
+        device_mesh=None,
     ):
         self.coarse_model = coarse_model
         self.coarse_params = coarse_params
@@ -81,6 +82,11 @@ class PoseEstimator:
         self.cfg = cfg
         self.depth_refiner = depth_refiner
         self.detector = detector
+        # Optional jax.sharding.Mesh: hypothesis batches shard over its
+        # 'dp' axis (the SURVEY §7 "shard the hypothesis axis over ICI"
+        # scaling strategy — the reference's analog is per-GPU frame
+        # splitting only).
+        self.device_mesh = device_mesh
         self.so3_grid = so3_grid.make_so3_grid(cfg.SO3_grid_size)
         self.timing_: dict[str, float] = {}
 
@@ -159,6 +165,78 @@ class PoseEstimator:
             ),
         )
         return logits.reshape(n_pad)[:n].reshape(D, M), TCO_init
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _init_hypotheses(
+        self, K: Array, boxes: Array, mesh_idx: Array, grid: Array
+    ) -> Array:
+        """TCO_init [D, M, 4, 4] from boxes x grid rotations."""
+        meshes_d = self.mesh_db.select(mesh_idx)
+        points = meshes_d.points
+
+        def init_d(box, pts):
+            return jax.vmap(
+                lambda R: tco_init_from_boxes_autodepth_with_R(
+                    box[None], pts[None], K, R[None]
+                )[0]
+            )(grid)
+
+        return jax.vmap(init_d)(boxes, points)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _coarse_logits_sharded(
+        self,
+        chunk: int,
+        coarse_params,
+        images: Array,  # [1, H, W, C]
+        K: Array,  # [1, 3, 3]
+        TCO_flat: Array,  # [N, 4, 4] (N divisible by n_devices * chunk)
+        idx_flat: Array,  # [N]
+    ) -> Array:
+        """Hypothesis scoring sharded over the device mesh's 'dp' axis:
+        each device scores its slice of the hypothesis batch in `chunk`
+        micro-batches; XLA moves no data between chips except the final
+        all-gather of logits."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.device_mesh
+        model = self.coarse_model
+        mesh_db = self.mesh_db
+
+        def score_shard(params, db, images_r, K_r, TCO_s, idx_s):
+            n_local = TCO_s.shape[0]
+            n_chunks = n_local // chunk
+
+            def score_chunk(args):
+                TCO_c, idx_c = args
+                meshes_c = db.select(idx_c)
+                imgs = jnp.broadcast_to(
+                    images_r, (chunk,) + images_r.shape[1:]
+                )
+                K_c = jnp.broadcast_to(K_r, (chunk, 3, 3))
+                out = model.apply(
+                    params, imgs, K_c, TCO_c, meshes_c,
+                    method=PosePredictor.score_views,
+                )
+                return out["logits"][:, 0]
+
+            return jax.lax.map(
+                score_chunk,
+                (
+                    TCO_s.reshape(n_chunks, chunk, 4, 4),
+                    idx_s.reshape(n_chunks, chunk),
+                ),
+            ).reshape(n_local)
+
+        fn = shard_map(
+            score_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("dp"), P("dp")),
+            out_specs=P("dp"),
+            check_rep=False,
+        )
+        return fn(coarse_params, mesh_db, images, K, TCO_flat, idx_flat)
 
     @functools.partial(jax.jit, static_argnums=(0, 1, 2))
     def _refine(
@@ -394,16 +472,44 @@ class PoseEstimator:
 
         # --- coarse ---------------------------------------------------
         t0 = time.monotonic()
-        chunk = min(cfg.bsz_images, D * grid.shape[0])
-        logits, TCO_init = self._coarse_logits_all(
-            chunk,
-            self.coarse_params,
-            images,
-            K,
-            jnp.asarray(boxes),
-            jnp.asarray(mesh_idx),
-            grid,
-        )
+        M = grid.shape[0]
+        chunk = min(cfg.bsz_images, D * M)
+        if self.device_mesh is not None:
+            # Hypothesis axis sharded across chips (shard_map over 'dp').
+            TCO_init = self._init_hypotheses(
+                K, jnp.asarray(boxes), jnp.asarray(mesh_idx), grid
+            )
+            n = D * M
+            n_dev = int(self.device_mesh.devices.size)
+            per_dev = -(-n // (n_dev * chunk)) * chunk
+            n_pad = per_dev * n_dev
+            flat_TCO = jnp.concatenate(
+                [
+                    TCO_init.reshape(n, 4, 4),
+                    jnp.tile(
+                        jnp.eye(4, dtype=TCO_init.dtype), (n_pad - n, 1, 1)
+                    ),
+                ]
+            )
+            flat_idx = jnp.concatenate(
+                [
+                    jnp.repeat(jnp.asarray(mesh_idx), M),
+                    jnp.zeros((n_pad - n,), jnp.int32),
+                ]
+            )
+            logits = self._coarse_logits_sharded(
+                chunk, self.coarse_params, images, K, flat_TCO, flat_idx
+            )[:n].reshape(D, M)
+        else:
+            logits, TCO_init = self._coarse_logits_all(
+                chunk,
+                self.coarse_params,
+                images,
+                K,
+                jnp.asarray(boxes),
+                jnp.asarray(mesh_idx),
+                grid,
+            )
         logits.block_until_ready()
         timing["coarse"] = time.monotonic() - t0
 
