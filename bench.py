@@ -140,6 +140,7 @@ def bench_pipeline(mesh_db):
         bsz_images=64,
         bsz_objects=8,
         max_detections=1,
+        fused_pipeline=True,
     )
     est = PoseEstimator(coarse, cparams, refiner, rparams, mesh_db, cfg)
 

@@ -94,8 +94,7 @@ class PoseEstimator:
     # jitted cores
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 1))
-    def _coarse_logits_all(
+    def _coarse_logits_all_impl(
         self,
         chunk: int,
         coarse_params,
@@ -165,6 +164,13 @@ class PoseEstimator:
             ),
         )
         return logits.reshape(n_pad)[:n].reshape(D, M), TCO_init
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _coarse_logits_all(self, chunk, coarse_params, images, K, boxes,
+                           mesh_idx, grid):
+        return self._coarse_logits_all_impl(
+            chunk, coarse_params, images, K, boxes, mesh_idx, grid
+        )
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _init_hypotheses(
@@ -238,8 +244,7 @@ class PoseEstimator:
         )
         return fn(coarse_params, mesh_db, images, K, TCO_flat, idx_flat)
 
-    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-    def _refine(
+    def _refine_impl(
         self,
         chunk: int,
         n_iterations: int,
@@ -297,8 +302,14 @@ class PoseEstimator:
         ]
         return T_final, traj
 
-    @functools.partial(jax.jit, static_argnums=(0, 1))
-    def _rescore(
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+    def _refine(self, chunk, n_iterations, refiner_params, images, K, TCO,
+                mesh_idx):
+        return self._refine_impl(
+            chunk, n_iterations, refiner_params, images, K, TCO, mesh_idx
+        )
+
+    def _rescore_impl(
         self,
         chunk: int,
         coarse_params,
@@ -342,6 +353,71 @@ class PoseEstimator:
             ),
         )
         return logits.reshape(n_pad)[:N]
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _rescore(self, chunk, coarse_params, images, K, TCO, mesh_idx):
+        return self._rescore_impl(chunk, coarse_params, images, K, TCO,
+                                  mesh_idx)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+    def _full_pipeline(
+        self,
+        chunk_images: int,
+        chunk_objects: int,
+        n_iterations: int,
+        top_k: int,
+        coarse_params,
+        refiner_params,
+        images: Array,
+        K: Array,
+        boxes: Array,
+        mesh_idx: Array,
+        grid: Array,
+    ):
+        """The ENTIRE pipeline (coarse -> top-K -> scan-refiner ->
+        re-score -> top-1) as one XLA program: no host round-trips
+        between phases (the per-phase path keeps them for timing parity
+        with the reference's CudaTimer splits)."""
+        D = boxes.shape[0]
+        M = grid.shape[0]
+        logits, TCO_init = self._coarse_logits_all_impl(
+            chunk_images, coarse_params, images, K, boxes, mesh_idx, grid
+        )
+        top_logits, top_ids = jax.lax.top_k(logits, top_k)
+        TCO_topk = jnp.take_along_axis(
+            TCO_init, top_ids[..., None, None], axis=1
+        )
+        N = D * top_k
+        TCO_flat = TCO_topk.reshape(N, 4, 4)
+        idx_flat = jnp.repeat(mesh_idx, top_k)
+        TCO_refined, traj = self._refine_impl(
+            min(chunk_objects, N), n_iterations, refiner_params,
+            images, K, TCO_flat, idx_flat,
+        )
+        pose_logits = self._rescore_impl(
+            min(chunk_objects, N), coarse_params, images, K,
+            TCO_refined, idx_flat,
+        )
+        pose_logits_dk = pose_logits.reshape(D, top_k)
+        best = jnp.argmax(pose_logits_dk, axis=1)
+        TCO_best = jnp.take_along_axis(
+            TCO_refined.reshape(D, top_k, 4, 4),
+            best[:, None, None, None],
+            axis=1,
+        )[:, 0]
+        best_logit = jnp.take_along_axis(
+            pose_logits_dk, best[:, None], axis=1
+        )[:, 0]
+        return {
+            "TCO_best": TCO_best,
+            "best_logit": best_logit,
+            "logits": logits,
+            "TCO_init": TCO_init,
+            "top_ids": top_ids,
+            "traj": traj,
+            "TCO_refined": TCO_refined,
+            "pose_logits_dk": pose_logits_dk,
+        }
 
     # ------------------------------------------------------------------
     # public API
@@ -469,11 +545,63 @@ class PoseEstimator:
         images = jnp.asarray(observation.images)
         K = jnp.asarray(observation.K)
         grid = self.so3_grid
+        M = grid.shape[0]
+        chunk = min(cfg.bsz_images, D * M)
+
+        if cfg.fused_pipeline and self.device_mesh is None and not (
+            do_depth and self.depth_refiner is not None
+        ):
+            # One XLA program, no host syncs between phases.
+            out = self._full_pipeline(
+                chunk,
+                min(cfg.bsz_objects, D * top_k),
+                n_iter,
+                top_k,
+                self.coarse_params,
+                self.refiner_params,
+                images,
+                K,
+                jnp.asarray(boxes),
+                jnp.asarray(mesh_idx),
+                grid,
+            )
+            jax.block_until_ready(out)
+            timing["total"] = time.monotonic() - t_start
+            self.timing_ = timing
+            infos = detections.infos.copy()
+            best_logit = np.asarray(out["best_logit"])[:D_real]
+            infos["pose_logit"] = best_logit
+            infos["pose_score"] = np.asarray(
+                jax.nn.sigmoid(out["best_logit"])
+            )[:D_real]
+            data = PandasTensorCollection(
+                infos, poses=np.asarray(out["TCO_best"])[:D_real]
+            )
+            extra = {
+                "timing": timing,
+                "coarse": {
+                    "logits": np.asarray(out["logits"])[:D_real],
+                    "TCO_init": np.asarray(out["TCO_init"])[:D_real],
+                    "top_ids": np.asarray(out["top_ids"])[:D_real],
+                },
+                "refiner": {
+                    "trajectory": np.asarray(out["traj"]).reshape(
+                        n_iter, D, top_k, 4, 4
+                    )[:, :D_real],
+                    "TCO_refined": np.asarray(
+                        out["TCO_refined"]
+                    ).reshape(D, top_k, 4, 4)[:D_real],
+                    "pose_logits": np.asarray(out["pose_logits_dk"])[
+                        :D_real
+                    ],
+                },
+            }
+            if keep_all_coarse_outputs:
+                extra["coarse"]["all_TCO"] = extra["coarse"]["TCO_init"]
+            return data, extra
 
         # --- coarse ---------------------------------------------------
         t0 = time.monotonic()
-        M = grid.shape[0]
-        chunk = min(cfg.bsz_images, D * M)
         if self.device_mesh is not None:
             # Hypothesis axis sharded across chips (shard_map over 'dp').
             TCO_init = self._init_hypotheses(

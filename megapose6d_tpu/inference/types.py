@@ -33,6 +33,9 @@ class InferenceConfig:
     bsz_objects: int = 16  # refiner chunk
     # TPU static-shape padding: detections per image are padded to this.
     max_detections: int = 8
+    # Run coarse->topK->refine->rescore as ONE XLA program (no host syncs
+    # between phases; per-phase timing then only reports 'total').
+    fused_pipeline: bool = False
 
 
 def make_detections(

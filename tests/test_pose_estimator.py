@@ -137,3 +137,26 @@ def test_deterministic(setup):
     out1, _ = est.run_inference_pipeline(obs, detections)
     out2, _ = est.run_inference_pipeline(obs, detections)
     np.testing.assert_allclose(out1.poses, out2.poses, atol=0)
+
+
+def test_fused_pipeline_matches_phased(setup):
+    import dataclasses
+
+    est, obs, TCO_gt = setup
+    detections = make_detections(["cube"], gt_detection_box(TCO_gt))
+    out_phased, extra_phased = est.run_inference_pipeline(obs, detections)
+
+    est_fused = PoseEstimator(
+        est.coarse_model, est.coarse_params, est.refiner_model,
+        est.refiner_params, est.mesh_db,
+        dataclasses.replace(est.cfg, fused_pipeline=True),
+    )
+    out_fused, extra_fused = est_fused.run_inference_pipeline(obs, detections)
+    np.testing.assert_allclose(
+        out_fused.poses, out_phased.poses, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        extra_fused["coarse"]["logits"], extra_phased["coarse"]["logits"],
+        atol=2e-4,
+    )
+    assert "total" in est_fused.timing_
