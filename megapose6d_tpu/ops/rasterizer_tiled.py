@@ -25,7 +25,7 @@ mapped to TPU, with rasterization AND shading fused into one kernel:
 Replaces the hot loop of the reference's Panda3D render farm
 (megapose6d: src/megapose/panda3d_renderer/panda3d_batch_renderer.py) with
 an on-device kernel; used by both the coarse scorer and every refiner
-iteration. Tile shape (16, 128) = two f32 VPU tiles.
+iteration. Tile shape (32, 128) = four f32 VPU tiles.
 """
 
 from __future__ import annotations
@@ -45,8 +45,6 @@ TILE_H = 32
 TILE_W = 128
 N_ATTR = 6  # r, g, b, nx, ny, nz
 COEF_W = 32  # 9 edge + 3 invz + 18 attr + 2 pad
-# plane coefficient column layout: (a, b, c) triplets
-_PLANES = tuple((3 * i, 3 * i + 1, 3 * i + 2) for i in range(10))
 
 
 def _face_coefs(

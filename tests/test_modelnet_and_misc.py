@@ -74,3 +74,15 @@ def test_distributed_smoke_script():
     from megapose6d_tpu.scripts.test_distributed import main
 
     main()  # 8 virtual CPU devices in the test env
+
+
+def test_profiling_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from megapose6d_tpu.utils import profiling
+
+    with profiling.trace(tmp_path / "trace"):
+        with profiling.annotate("phase"):
+            (jnp.ones((8, 8)) * 2).block_until_ready()
+    # Trace files written.
+    assert any((tmp_path / "trace").rglob("*"))
