@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,6 +88,123 @@ def compute_errors(
         "trans_err": np.asarray(trans_err),
         "proj2d": np.asarray(proj2d),
     }
+
+
+def compute_mssd_mspd(
+    TCO_pred: np.ndarray,  # [N, 4, 4]
+    TCO_gt: np.ndarray,  # [N, 4, 4]
+    points: np.ndarray,  # [N, P, 3]
+    K: np.ndarray,  # [N, 3, 3]
+    symmetries: np.ndarray,  # [N, S, 4, 4] (identity-padded)
+    sym_valid: np.ndarray | None = None,  # [N, S]
+) -> dict[str, np.ndarray]:
+    """Maximum Symmetry-aware Surface/Projection Distance (the BOP19
+    errors the reference scores via the bop_toolkit subprocess,
+    evaluation/bop.py:140-176; in-tree here, batched jnp):
+
+      MSSD = min_S max_p  | T_pred p - T_gt S p |
+      MSPD = min_S max_p  | proj(T_pred p) - proj(T_gt S p) |
+    """
+    TCO_pred = jnp.asarray(TCO_pred, jnp.float32)
+    TCO_gt = jnp.asarray(TCO_gt, jnp.float32)
+    points = jnp.asarray(points, jnp.float32)
+    K = jnp.asarray(K, jnp.float32)
+    syms = jnp.asarray(symmetries, jnp.float32)
+
+    TCO_gt_sym = jnp.einsum(
+        "nij,nsjk->nsik", TCO_gt, syms,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, S, 4, 4]
+    pred_pts = se3.transform_pts(TCO_pred, points)  # [N, P, 3]
+    gt_pts = se3.transform_pts(TCO_gt_sym, points)  # [N, S, P, 3]
+
+    d3 = jnp.linalg.norm(pred_pts[:, None] - gt_pts, axis=-1)  # [N, S, P]
+    max_over_p = jnp.max(d3, axis=-1)  # [N, S]
+
+    uv_pred = project_points(points, K, TCO_pred)  # [N, P, 2]
+    uv_gt = jax.vmap(
+        lambda pts, Kn, Ts: jax.vmap(
+            lambda T: project_points(pts[None], Kn[None], T[None])[0]
+        )(Ts)
+    )(points, K, TCO_gt_sym)  # [N, S, P, 2]
+    d2 = jnp.linalg.norm(uv_pred[:, None] - uv_gt, axis=-1)
+    max_over_p_2d = jnp.max(d2, axis=-1)  # [N, S]
+
+    if sym_valid is not None:
+        big = jnp.asarray(1e30, jnp.float32)
+        sv = jnp.asarray(sym_valid)
+        max_over_p = jnp.where(sv, max_over_p, big)
+        max_over_p_2d = jnp.where(sv, max_over_p_2d, big)
+    return {
+        "mssd": np.asarray(jnp.min(max_over_p, axis=-1)),
+        "mspd": np.asarray(jnp.min(max_over_p_2d, axis=-1)),
+    }
+
+
+class BOPScoreMeter:
+    """BOP19-style average recall from in-tree MSSD/MSPD.
+
+    AR_MSSD averages recall over thresholds {0.05..0.5} x object
+    diameter; AR_MSPD over {5..50} px x (image_width/640) — the
+    bop_toolkit conventions (its eval_bop19 defaults). VSD (the third
+    BOP19 error) needs depth-image rendering of GT and estimate and
+    stays with the subprocess bridge.
+    """
+
+    def __init__(self, mesh_db, image_width: int = 640, n_points: int = 500):
+        self.mesh_db = mesh_db
+        self.image_width = image_width
+        self.n_points = n_points
+        self.datas: dict[str, list] = defaultdict(list)
+
+    def add(self, pred_data, gt_data) -> None:
+        keys = tuple(
+            k
+            for k in ("scene_id", "view_id", "label")
+            if k in pred_data.infos.columns and k in gt_data.infos.columns
+        )
+        matches = one_to_one_matching(pred_data.infos, gt_data.infos, keys=keys)
+        pred_ids = matches["pred_id"].to_numpy().astype(int)
+        gt_ids = matches["gt_id"].to_numpy().astype(int)
+        labels = matches["label"].tolist()
+        idx = self.mesh_db.label_to_index(labels)
+        meshes = self.mesh_db.select(idx)
+        pts = np.asarray(meshes.points)[:, : self.n_points]
+        errs = compute_mssd_mspd(
+            np.asarray(pred_data.poses)[pred_ids],
+            np.asarray(gt_data.poses)[gt_ids],
+            pts,
+            np.asarray(gt_data.K)[gt_ids],
+            np.asarray(meshes.symmetries),
+            np.asarray(meshes.sym_valid),
+        )
+        self.datas["mssd"].extend(errs["mssd"].tolist())
+        self.datas["mspd"].extend(errs["mspd"].tolist())
+        self.datas["diameter"].extend(
+            np.asarray(meshes.diameters).tolist()
+        )
+
+    def summary(self) -> dict[str, float]:
+        mssd = np.asarray(self.datas["mssd"])
+        mspd = np.asarray(self.datas["mspd"])
+        diam = np.asarray(self.datas["diameter"])
+        n = max(len(mssd), 1)
+        rec_mssd = [
+            float((mssd < t * diam).sum() / n)
+            for t in np.arange(0.05, 0.51, 0.05)
+        ]
+        scale = self.image_width / 640.0
+        rec_mspd = [
+            float((mspd < t * scale).sum() / n)
+            for t in np.arange(5.0, 50.1, 5.0)
+        ]
+        return {
+            "n": int(len(mssd)),
+            "AR_MSSD": float(np.mean(rec_mssd)) if len(mssd) else 0.0,
+            "AR_MSPD": float(np.mean(rec_mspd)) if len(mssd) else 0.0,
+            "mssd_median": float(np.median(mssd)) if len(mssd) else float("nan"),
+            "mspd_median": float(np.median(mspd)) if len(mssd) else float("nan"),
+        }
 
 
 class Meter:

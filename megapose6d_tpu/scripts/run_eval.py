@@ -20,7 +20,7 @@ import numpy as np
 
 from ..data.datasets_cfg import make_object_dataset, make_scene_dataset
 from ..evaluation.bop import convert_results_to_bop
-from ..evaluation.meters import ModelNetErrorMeter
+from ..evaluation.meters import BOPScoreMeter, ModelNetErrorMeter
 from ..evaluation.runner import EvaluationRunner, PredictionRunner
 from ..inference.pose_estimator import PoseEstimator
 from ..inference.types import InferenceConfig
@@ -88,7 +88,11 @@ def main(argv=None):
     )
     logger.info(f"wrote {csv} ({len(preds)} predictions)")
 
-    meters = {"modelnet": ModelNetErrorMeter(mesh_db)}
+    h, w = scene_ds[0].rgb.shape[:2] if len(scene_ds) else (480, 640)
+    meters = {
+        "modelnet": ModelNetErrorMeter(mesh_db),
+        "bop": BOPScoreMeter(mesh_db, image_width=w),
+    }
     summary = EvaluationRunner(scene_ds, meters).evaluate(preds)
     (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
     logger.info(f"summary: {summary}")

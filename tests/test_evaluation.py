@@ -191,3 +191,78 @@ def test_one_to_one_matching():
     m = one_to_one_matching(pred, gt)
     assert len(m) == 2
     assert m.iloc[0]["label"] == "b" and m.iloc[0]["pred_id"] == 1
+
+
+def test_mssd_mspd_and_bop_score_meter(bop_root):
+    from megapose6d_tpu.evaluation import BOPScoreMeter, compute_mssd_mspd
+
+    objs = load_bop_object_dataset(bop_root / "models")
+    mesh_db = MeshDataBase.from_object_ds(
+        objs, max_faces=64, n_points=200, n_sym=4
+    ).batched(align=32)
+
+    TCO_gt = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    TCO_gt[:, 2, 3] = 0.5
+    TCO_pred = TCO_gt.copy()
+    TCO_pred[1, 0, 3] += 0.004  # 4 mm
+    TCO_pred[2, 0, 3] += 0.3  # 30 cm
+    K = np.tile(
+        np.asarray([[300.0, 0, 64], [0, 300, 48], [0, 0, 1]], np.float32),
+        (3, 1, 1),
+    )
+    meshes = mesh_db.select(np.zeros(3, int))
+    pts = np.asarray(meshes.points)[:, :200]
+    errs = compute_mssd_mspd(
+        TCO_pred, TCO_gt, pts, K,
+        np.asarray(meshes.symmetries), np.asarray(meshes.sym_valid),
+    )
+    # Exact pose -> 0 error; 4mm shift -> mssd ~4mm (x-shift, max over pts).
+    np.testing.assert_allclose(errs["mssd"][0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(errs["mssd"][1], 0.004, atol=1e-4)
+    assert errs["mssd"][2] > 0.2
+    # MSPD in pixels: 4mm at z=0.5, f=300 -> ~2.4 px.
+    np.testing.assert_allclose(errs["mspd"][1], 300 * 0.004 / 0.5, rtol=0.2)
+
+    meter = BOPScoreMeter(mesh_db, image_width=128)
+    infos = pd.DataFrame({"label": ["obj_000001"] * 3, "view_id": [0, 1, 2]})
+    gt = PandasTensorCollection(infos.copy(), poses=TCO_gt, K=K)
+    pred = PandasTensorCollection(infos.copy(), poses=TCO_pred)
+    meter.add(pred, gt)
+    s = meter.summary()
+    assert s["n"] == 3
+    # Perfect + 4mm pass all/most thresholds; 30cm fails all.
+    assert 0.5 < s["AR_MSSD"] < 0.75
+    assert s["mssd_median"] < 0.005
+
+
+def test_mssd_respects_symmetries(bop_root):
+    """With a z-continuous symmetry declared, a pure z-rotation must give
+    ~zero MSSD."""
+    from megapose6d_tpu.evaluation import compute_mssd_mspd
+    from megapose6d_tpu.meshes import RigidObject, RigidObjectDataset, make_uv_sphere
+    from megapose6d_tpu.ops.symmetries import ContinuousSymmetry
+
+    objs = RigidObjectDataset([
+        RigidObject(
+            label="cyl", mesh=make_uv_sphere(0.04, 8, 8),
+            symmetries_continuous=[
+                ContinuousSymmetry(np.zeros(3), np.array([0, 0, 1]))
+            ],
+        )
+    ])
+    db = MeshDataBase.from_object_ds(
+        objs, max_faces=256, n_points=64, n_sym=16
+    ).batched(align=32)
+    meshes = db.select(np.zeros(1, int))
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[2, 3] = 0.5
+    ang = 2 * np.pi / 8  # exactly a sampled symmetry angle
+    c, s = np.cos(ang), np.sin(ang)
+    T_pred = T_gt.copy()
+    T_pred[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    K = np.asarray([[[300.0, 0, 64], [0, 300, 48], [0, 0, 1]]], np.float32)
+    errs = compute_mssd_mspd(
+        T_pred[None], T_gt[None], np.asarray(meshes.points)[:, :64], K,
+        np.asarray(meshes.symmetries), np.asarray(meshes.sym_valid),
+    )
+    assert errs["mssd"][0] < 1e-4, errs["mssd"]
