@@ -8,7 +8,6 @@ modelnet_object_dataset.py, urdf_dataset.py): directory scanners producing
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
 from ..meshes.mesh_db import RigidObject, RigidObjectDataset

@@ -11,13 +11,12 @@ reader, and an infinite shuffled iterator with a sample buffer.
 
 from __future__ import annotations
 
-import dataclasses
 import io
 import json
 import random
 import tarfile
 from pathlib import Path
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import numpy as np
 

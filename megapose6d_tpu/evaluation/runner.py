@@ -11,8 +11,6 @@ merged host-side by the caller (process_allgather or shared FS).
 from __future__ import annotations
 
 import time
-from typing import Sequence
-
 import numpy as np
 import pandas as pd
 

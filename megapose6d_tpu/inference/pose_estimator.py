@@ -23,7 +23,6 @@ Architectural differences, all deliberate TPU choices:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import time
 from typing import Any

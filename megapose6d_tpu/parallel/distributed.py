@@ -85,8 +85,6 @@ def gather_collections(
             np.concatenate([arr, pad], axis=0)
         )  # [P, n_max, ...]
 
-    import json
-
     payload = tc.infos.to_json(orient="records").encode()
     buf = np.zeros(2**20, np.uint8)
     assert len(payload) < len(buf), "infos too large for gather buffer"

@@ -15,9 +15,6 @@ import json
 import sys
 from pathlib import Path
 
-import jax
-import numpy as np
-
 from ..data.datasets_cfg import make_object_dataset, make_scene_dataset
 from ..evaluation.bop import convert_results_to_bop
 from ..evaluation.meters import BOPScoreMeter, ModelNetErrorMeter

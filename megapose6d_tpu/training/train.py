@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
-from typing import Any, Callable, Iterator
+from typing import Callable, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ import optax
 from flax.training import train_state
 
 from ..meshes.mesh_db import BatchedMeshes
-from ..models.pose_predictor import PosePredictor, PosePredictorConfig
+from ..models.pose_predictor import PosePredictor
 from ..parallel import mesh as mesh_lib
 from ..ops import rasterizer
 from ..ops.camera import masked_boxes_from_uv, project_points_robust

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import jax
 import numpy as np
 
 from ..models.pose_predictor import PosePredictor
