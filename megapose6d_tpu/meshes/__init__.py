@@ -5,7 +5,10 @@ from .io import (  # noqa: F401
     load_mesh,
     load_obj,
     load_ply,
+    make_axes,
+    make_cone,
     make_cube,
+    make_cylinder,
     make_uv_sphere,
     simplify_vertex_clustering,
 )

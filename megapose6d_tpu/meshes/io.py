@@ -440,3 +440,82 @@ def make_uv_sphere(
     return TriMesh(
         verts, np.asarray(faces, np.int32), vertex_colors=colors
     ).with_computed_normals()
+
+
+def make_cylinder(
+    radius: float = 0.02,
+    length: float = 0.1,
+    n_seg: int = 24,
+    color=(0.4, 0.7, 0.3),
+) -> TriMesh:
+    """Closed cylinder along +z (panda3d_renderer/geometry.py analog)."""
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    ring = np.stack([np.cos(ang) * radius, np.sin(ang) * radius], -1)
+    bot = np.concatenate([ring, np.full((n_seg, 1), -length / 2)], -1)
+    top = np.concatenate([ring, np.full((n_seg, 1), length / 2)], -1)
+    centers = np.asarray([[0, 0, -length / 2], [0, 0, length / 2]])
+    verts = np.concatenate([bot, top, centers]).astype(np.float32)
+    faces = []
+    cb, ct = 2 * n_seg, 2 * n_seg + 1
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        faces += [[i, j, n_seg + i], [j, n_seg + j, n_seg + i]]  # side
+        faces += [[cb, j, i], [ct, n_seg + i, n_seg + j]]  # caps
+    colors = np.tile(np.asarray(color, np.float32), (len(verts), 1))
+    return TriMesh(
+        verts, np.asarray(faces, np.int32), vertex_colors=colors
+    ).with_computed_normals()
+
+
+def make_cone(
+    radius: float = 0.02,
+    height: float = 0.06,
+    n_seg: int = 24,
+    color=(0.8, 0.6, 0.2),
+) -> TriMesh:
+    """Closed cone, apex at +z (geometry.py analog)."""
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    base = np.stack(
+        [np.cos(ang) * radius, np.sin(ang) * radius, np.zeros(n_seg)], -1
+    )
+    verts = np.concatenate(
+        [base, [[0, 0, height], [0, 0, 0]]]
+    ).astype(np.float32)
+    apex, center = n_seg, n_seg + 1
+    faces = []
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        faces += [[i, j, apex], [center, j, i]]
+    colors = np.tile(np.asarray(color, np.float32), (len(verts), 1))
+    return TriMesh(
+        verts, np.asarray(faces, np.int32), vertex_colors=colors
+    ).with_computed_normals()
+
+
+def make_axes(length: float = 0.1, radius_ratio: float = 0.03) -> TriMesh:
+    """RGB xyz axes gizmo as one mesh (geometry.py:make_axes:59 analog)."""
+    r = length * radius_ratio
+    parts = []
+    for axis, color in (
+        (0, (0.9, 0.1, 0.1)), (1, (0.1, 0.9, 0.1)), (2, (0.1, 0.1, 0.9))
+    ):
+        cyl = make_cylinder(r, length, 12, color)
+        v = cyl.vertices.copy()
+        v[:, 2] += length / 2  # base at origin
+        if axis == 0:
+            v = v[:, [2, 1, 0]] * np.asarray([1, 1, -1], np.float32)
+        elif axis == 1:
+            v = v[:, [0, 2, 1]] * np.asarray([1, 1, -1], np.float32)
+        parts.append((v, cyl.faces, cyl.vertex_colors))
+    offset = 0
+    verts, faces, colors = [], [], []
+    for v, f, c in parts:
+        verts.append(v)
+        faces.append(f + offset)
+        colors.append(c)
+        offset += len(v)
+    return TriMesh(
+        np.concatenate(verts),
+        np.concatenate(faces).astype(np.int32),
+        vertex_colors=np.concatenate(colors),
+    ).with_computed_normals()

@@ -144,3 +144,40 @@ def test_mesh_units_scaling():
     obj = RigidObject(label="c", mesh=cube_mm, mesh_units="mm")
     m = obj.load()
     assert abs(np.abs(m.vertices).max() - 0.05) < 1e-6
+
+
+def test_debug_primitives():
+    from megapose6d_tpu.meshes import make_axes, make_cone, make_cylinder
+
+    cyl = make_cylinder(0.02, 0.1, 16)
+    assert cyl.n_faces == 16 * 4
+    r = np.linalg.norm(cyl.vertices[:32, :2], axis=-1)
+    np.testing.assert_allclose(r, 0.02, atol=1e-6)
+    assert abs(cyl.vertices[:, 2]).max() == pytest.approx(0.05)
+
+    cone = make_cone(0.02, 0.06, 16)
+    assert cone.vertices[:, 2].max() == pytest.approx(0.06)
+    assert cone.n_faces == 32
+
+    axes = make_axes(0.1)
+    # Each axis reaches ~length along its direction.
+    assert axes.vertices[:, 0].max() > 0.09
+    assert axes.vertices[:, 1].max() > 0.09
+    assert axes.vertices[:, 2].max() > 0.09
+    # Watertight-ish: renders without degenerate explosion.
+    import jax.numpy as jnp
+
+    from megapose6d_tpu.ops import rasterizer
+
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 0.4
+    K = np.asarray([[200.0, 0, 48], [0, 200.0, 36], [0, 0, 1]], np.float32)
+    out = rasterizer.render_meshes(
+        jnp.asarray(axes.vertices)[None],
+        jnp.asarray(axes.vertex_normals)[None],
+        jnp.asarray(axes.vertex_colors)[None],
+        jnp.asarray(axes.faces)[None],
+        jnp.ones((1, axes.n_faces), bool),
+        jnp.asarray(T)[None], jnp.asarray(K)[None], (72, 96),
+    )
+    assert np.asarray(out.mask).sum() > 50
