@@ -10,3 +10,4 @@ from .meters import (  # noqa: F401
     one_to_one_matching,
 )
 from .runner import EvaluationRunner, PredictionRunner, shard_frames  # noqa: F401
+from .vsd import compute_vsd, vsd_recall  # noqa: F401

@@ -266,3 +266,54 @@ def test_mssd_respects_symmetries(bop_root):
         np.asarray(meshes.symmetries), np.asarray(meshes.sym_valid),
     )
     assert errs["mssd"][0] < 1e-4, errs["mssd"]
+
+
+def test_vsd(bop_root):
+    import jax.numpy as jnp
+
+    from megapose6d_tpu.evaluation import compute_vsd, vsd_recall
+    from megapose6d_tpu.ops import rasterizer
+
+    objs = load_bop_object_dataset(bop_root / "models")
+    mesh_db = MeshDataBase.from_object_ds(
+        objs, max_faces=64, n_points=64, n_sym=2
+    ).batched(align=32)
+    meshes1 = mesh_db.select(np.zeros(1, int))
+    K = np.asarray([[200.0, 0, 64], [0, 200.0, 48], [0, 0, 1]], np.float32)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[2, 3] = 0.5
+    # Measured depth = render of the GT pose (plus background plane).
+    out = rasterizer.render_meshes(
+        meshes1.vertices, meshes1.normals, meshes1.colors, meshes1.faces,
+        meshes1.face_valid, jnp.asarray(T_gt)[None], jnp.asarray(K)[None],
+        (96, 128),
+    )
+    depth_meas = np.array(out.depth[0])  # writable copy
+    depth_meas[depth_meas == 0] = 1.5  # background wall
+
+    diam = np.asarray(mesh_db.diameters)[:1]
+    # Case 1: exact pose -> e_VSD = 0 for all taus.
+    e = compute_vsd(depth_meas, T_gt[None], T_gt[None], K, meshes1, diam)
+    np.testing.assert_allclose(e, 0.0, atol=1e-6)
+    assert vsd_recall(e) == 1.0
+
+    # Case 2: 20 cm off -> high error, zero recall.
+    T_bad = T_gt.copy()
+    T_bad[0, 3] += 0.2
+    meshes2 = mesh_db.select(np.zeros(2, int))
+    e2 = compute_vsd(
+        depth_meas,
+        np.stack([T_gt, T_bad]),
+        np.stack([T_gt, T_gt]),
+        K, meshes2, np.repeat(diam, 2),
+    )
+    assert e2[0].max() < 1e-5
+    assert e2[1].min() > 0.5
+    # Case 3: small depth shift below tau threshold passes large taus.
+    T_near = T_gt.copy()
+    T_near[2, 3] += 0.01  # 10 mm (diameter ~173 mm; tau range 8.7-86 mm)
+    e3 = compute_vsd(
+        depth_meas, T_near[None], T_gt[None], K, meshes1, diam
+    )
+    assert e3[0, 0] > 0.5  # tau = 8.7 mm < 10 mm shift -> mostly bad
+    assert e3[0, -1] < 0.3  # tau = 86 mm >> shift -> mostly fine
