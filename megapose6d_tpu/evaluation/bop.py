@@ -19,15 +19,33 @@ import numpy as np
 from ..data.tensor_collection import PandasTensorCollection
 
 
+def label_to_obj_id(label: str) -> int:
+    """BOP convention: 'obj_000014' / 'ycbv-obj_000002' -> 14 / 2.
+
+    The reference parses `int(label.split("_")[-1])` and crashes on labels
+    without a numeric suffix; here non-BOP labels raise a clear error unless
+    the caller provides an explicit mapping to `convert_results_to_bop`.
+    """
+    tail = str(label).split("_")[-1]
+    if not tail.lstrip("-").isdigit():
+        raise ValueError(
+            f"label {label!r} has no numeric obj_id suffix; pass "
+            "obj_id_map={label: id} to convert_results_to_bop"
+        )
+    return int(tail)
+
+
 def convert_results_to_bop(
     predictions: PandasTensorCollection,
     out_csv_path: str | Path,
     use_pose_score: bool = True,
+    obj_id_map: dict[str, int] | None = None,
 ) -> Path:
     """PoseEstimates -> BOP19 CSV (evaluation/bop.py:100-138).
 
     `predictions.infos` must carry scene_id, view_id, label (+ scores);
-    `predictions.poses` is `[N, 4, 4]` in meters.
+    `predictions.poses` is `[N, 4, 4]` in meters. `obj_id_map` overrides the
+    BOP `obj_NNNNNN` label convention for datasets with free-form labels.
     """
     rows = []
     poses = np.asarray(predictions.poses)
@@ -36,7 +54,10 @@ def convert_results_to_bop(
         T = poses[n]
         R = T[:3, :3]
         t = T[:3, 3] * 1e3  # m -> mm
-        obj_id = int(str(info["label"]).split("_")[-1])
+        if obj_id_map is not None:
+            obj_id = int(obj_id_map[str(info["label"])])
+        else:
+            obj_id = label_to_obj_id(info["label"])
         score = info["pose_score"] if use_pose_score and "pose_score" in info else info.get("score", 1.0)
         time = info["time"] if "time" in info else -1
         rows.append(

@@ -36,10 +36,23 @@ def one_to_one_matching(
     gt_infos = gt_infos.reset_index(drop=True).copy()
     pred_infos["pred_id"] = np.arange(len(pred_infos))
     gt_infos["gt_id"] = np.arange(len(gt_infos))
-    merged = gt_infos.merge(pred_infos, on=list(keys), how="left")
+    keys = list(keys)
+    # The merge below is only one-to-one if the keys are unique on both
+    # sides; duplicates (multi-instance scenes without instance_id in the
+    # keys) would silently cross-product and corrupt the metrics.
+    for name, df in (("pred", pred_infos), ("gt", gt_infos)):
+        if df.duplicated(subset=keys).any():
+            raise ValueError(
+                f"one_to_one_matching: duplicate {keys} keys in {name} infos "
+                "(multi-instance scene?); include 'instance_id' in keys"
+            )
+    merged = gt_infos.merge(pred_infos, on=keys, how="left")
     if not allow_pred_missing:
         assert merged["pred_id"].notna().all(), "missing predictions"
+    else:
         merged = merged[merged["pred_id"].notna()]
+    merged = merged.copy()
+    merged["pred_id"] = merged["pred_id"].astype(int)
     return merged
 
 

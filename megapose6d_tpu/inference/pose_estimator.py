@@ -532,6 +532,17 @@ class PoseEstimator:
         timing: dict[str, float] = {}
         t_start = time.monotonic()
 
+        if len(detections) > cfg.max_detections:
+            # Keep the top-scoring max_detections rows (the reference filters
+            # detections before the pipeline, inference/utils.py:174-196);
+            # infos and tensors must stay consistent with the padded arrays.
+            infos_d = detections.infos
+            if "score" in infos_d.columns:
+                order = np.argsort(-infos_d["score"].to_numpy(), kind="stable")
+            else:
+                order = np.arange(len(infos_d))
+            keep = np.sort(order[: cfg.max_detections])
+            detections = detections[keep]
         D_real = len(detections)
         D = cfg.max_detections
         labels = list(detections.infos["label"])

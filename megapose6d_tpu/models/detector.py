@@ -129,19 +129,25 @@ def detection_loss(
     ix = jnp.clip(cx.astype(jnp.int32), 0, w - 1)
     iy = jnp.clip(cy.astype(jnp.int32), 0, h - 1)
 
-    # Gaussian target heatmap.
+    # Gaussian target heatmap, splatted at the INTEGER center cell (standard
+    # CenterNet draw_gaussian) so the peak cell is exactly 1 and the focal
+    # positives below are never empty for in-bounds objects.
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     sigma = jnp.maximum(jnp.sqrt(bw * bh) / 3.0, 1.0)  # [B, N]
-    d2 = (ys[None, None] - cy[..., None, None]) ** 2 + (
-        xs[None, None] - cx[..., None, None]
+    fy = iy.astype(jnp.float32)
+    fx = ix.astype(jnp.float32)
+    d2 = (ys[None, None] - fy[..., None, None]) ** 2 + (
+        xs[None, None] - fx[..., None, None]
     ) ** 2
     g = jnp.exp(-d2 / (2 * sigma[..., None, None] ** 2))  # [B, N, h, w]
     g = jnp.where(gt_valid[..., None, None], g, 0.0)
-    target = jnp.zeros((B, h, w, C))
     onehot = jax.nn.one_hot(gt_classes, C)  # [B, N, C]
-    target = jnp.einsum("bnhw,bnc->bhwc", g, onehot)
-    target = jnp.clip(target, 0.0, 1.0)
+    # max (not sum) over instances: overlapping gaussians must not create
+    # spurious peak-valued cells away from any true center.
+    target = jnp.max(
+        g[..., None] * onehot[:, :, None, None, :], axis=1
+    )  # [B, h, w, C]
 
     p = jax.nn.sigmoid(heat)
     pos = (target > 0.999).astype(jnp.float32)

@@ -84,6 +84,15 @@ def pad_symmetries(syms: np.ndarray, n_max: int) -> tuple[np.ndarray, np.ndarray
     Analog of the fixed-size symmetry stacking in
     rigid_mesh_database.py:133-155 (which repeats identity for padding).
     """
+    if len(syms) > n_max:
+        import warnings
+
+        warnings.warn(
+            f"pad_symmetries: truncating {len(syms)} symmetry poses to "
+            f"n_max={n_max}; symmetric losses/metrics will under-sweep. "
+            "Raise n_sym at MeshDataBase construction.",
+            stacklevel=2,
+        )
     s = min(len(syms), n_max)
     out = np.tile(np.eye(4), (n_max, 1, 1))
     out[:s] = syms[:s]

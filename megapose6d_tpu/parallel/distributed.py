@@ -85,13 +85,15 @@ def gather_collections(
             np.concatenate([arr, pad], axis=0)
         )  # [P, n_max, ...]
 
+    # Ragged JSON payloads: allgather the per-process byte counts first and
+    # size the gather buffer to the global max (no fixed cap — a real BOP
+    # eval shard is thousands of rows and easily exceeds 1 MB).
     payload = tc.infos.to_json(orient="records").encode()
-    buf = np.zeros(2**20, np.uint8)
-    assert len(payload) < len(buf), "infos too large for gather buffer"
-    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
     sizes = multihost_utils.process_allgather(
-        np.asarray([len(payload)], np.int32)
+        np.asarray([len(payload)], np.int64)
     ).reshape(-1)
+    buf = np.zeros(max(int(sizes.max()), 1), np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
     infos_all = multihost_utils.process_allgather(buf)  # [P, buf]
 
     if jax.process_index() != 0:

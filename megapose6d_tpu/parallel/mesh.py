@@ -17,6 +17,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available on backend "
+                f"'{jax.default_backend()}'. For virtual devices set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                "JAX_PLATFORMS=cpu before first backend use."
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

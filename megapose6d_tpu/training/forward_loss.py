@@ -101,14 +101,16 @@ def make_hypotheses(
         n_cand = TCV_O.shape[1]
 
         # Per-sample random selection of H candidate views; a hypothesis is
-        # positive iff it is view 0 (the noised-GT view). 30% of the time a
-        # batch element with no positive gets one forced in
-        # (megapose_forward_loss.py:120-133).
+        # positive iff it is view 0 (the noised-GT view). 70% of the time a
+        # batch element with no positive gets one forced in — the reference's
+        # `if np.random.rand() > 0.3` (megapose_forward_loss.py:120-133; its
+        # inline comment says 30% but the code, which is the contract, forces
+        # at 70%).
         perm = jax.vmap(
             lambda k: jax.random.permutation(k, n_cand)[:H]
         )(jax.random.split(k_perm, B))  # [B, H]
         has_pos = (perm == 0).any(axis=1)  # [B]
-        force = (jax.random.uniform(k_force, (B,)) < 0.3) & ~has_pos
+        force = (jax.random.uniform(k_force, (B,)) > 0.3) & ~has_pos
         pos_slot = jax.random.randint(k_pos, (B,), 0, H)
         slot_onehot = jax.nn.one_hot(pos_slot, H, dtype=bool)
         perm = jnp.where(force[:, None] & slot_onehot, 0, perm)
