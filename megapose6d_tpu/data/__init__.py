@@ -1,5 +1,6 @@
 """Data structures and dataset loaders."""
 
+from .loader import ParallelBatchLoader, PoseBatchFactory  # noqa: F401
 from .tensor_collection import PandasTensorCollection, concatenate  # noqa: F401
 from .types import (  # noqa: F401
     CameraData,

@@ -27,12 +27,11 @@ def make_scene_dataset(
     name: str, load_depth: bool = False, data_dir: Path | None = None
 ):
     """(datasets_cfg.py:make_scene_dataset:65-195)"""
-    data_dir = Path(data_dir or config.BOP_DS_DIR)
     if name.startswith("webdataset."):
         wds_name = name.split(".", 1)[1]
-        return WebSceneDataset(
-            config.WDS_DS_DIR / wds_name, load_depth=load_depth
-        )
+        wds_root = Path(data_dir) if data_dir else config.WDS_DS_DIR
+        return WebSceneDataset(wds_root / wds_name, load_depth=load_depth)
+    data_dir = Path(data_dir or config.BOP_DS_DIR)
     ds_name, _, variant = name.partition(".")
     split = {
         "bop19": "test",

@@ -20,12 +20,8 @@ import sys
 
 import jax
 
-from ..data.datasets_cfg import make_object_dataset, make_scene_dataset
-from ..data.pose_dataset import PoseDataset
-from ..data.scene_dataset import (
-    IterableMultiSceneDataset,
-    RandomIterableSceneDataset,
-)
+from ..data.datasets_cfg import make_object_dataset
+from ..data.loader import ParallelBatchLoader, PoseBatchFactory
 from ..meshes.mesh_db import MeshDataBase
 from ..models.pose_predictor import PosePredictor, PosePredictorConfig
 from ..parallel.mesh import make_mesh
@@ -76,6 +72,7 @@ def main(argv=None):
     device_mesh = make_mesh(n_dev)
     logger.info(f"devices: {jax.devices()[:n_dev]}; config: {cfg}")
 
+    loader = None
     if meta["synthetic"] == "1":
         # On-device synthetic scenes of procedural objects (smoke runs).
         from ..meshes.mesh_db import RigidObject, RigidObjectDataset
@@ -115,38 +112,36 @@ def main(argv=None):
             object_ds, max_faces=cfg.max_faces,
             n_points=cfg.n_points_mesh, n_sym=cfg.n_sym,
         ).batched()
-        label_to_idx = {l: i for i, l in enumerate(mesh_db.labels)}
-
-        scene_iters = [
-            RandomIterableSceneDataset(
-                make_scene_dataset(n, load_depth=cfg.input_depth),
-                seed=cfg.seed,
-            )
-            for n in cfg.train_datasets
-        ]
-        obs_iter = iter(IterableMultiSceneDataset(scene_iters, seed=cfg.seed))
-        pose_ds = PoseDataset(
-            None,
+        # Parallel host input pipeline (train_megapose.py:170-178 analog):
+        # cfg.n_dataloader_workers processes decode/augment/collate batches
+        # into a prefetch queue; workers=0 runs inline.
+        factory = PoseBatchFactory(
+            dataset_names=tuple(cfg.train_datasets),
+            labels=tuple(mesh_db.labels),
+            batch_size=cfg.batch_size,
             resize=tuple(cfg.input_resize),
-            apply_depth_augmentation=cfg.input_depth,
-            depth_supported=cfg.input_depth,
+            input_depth=cfg.input_depth,
             min_area=cfg.min_area,
-            keep_labels_set=set(mesh_db.labels),
         )
-        batch_iter = pose_ds.iter_batches(
-            obs_iter, cfg.batch_size, label_to_idx
+        loader = ParallelBatchLoader(
+            factory, n_workers=cfg.n_dataloader_workers, seed=cfg.seed
         )
+        batch_iter = iter(loader)
         input_res = tuple(cfg.input_resize)
 
-    train(
-        cfg,
-        model,
-        mesh_db,
-        batch_iter,
-        device_mesh=device_mesh,
-        input_res=input_res,
-        log_fn=lambda log: logger.info(str(log)),
-    )
+    try:
+        train(
+            cfg,
+            model,
+            mesh_db,
+            batch_iter,
+            device_mesh=device_mesh,
+            input_res=input_res,
+            log_fn=lambda log: logger.info(str(log)),
+        )
+    finally:
+        if loader is not None:
+            loader.close()
 
 
 if __name__ == "__main__":
