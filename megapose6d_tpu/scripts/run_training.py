@@ -61,6 +61,17 @@ def main(argv=None):
     else:
         raise ValueError(meta["config_id"])
     cfg = apply_overrides(cfg, rest)
+    if cfg.resume_run_id:
+        # Reference semantics (run_megapose_training.py:315-320): a resumed
+        # run reloads its persisted config, then CLI overrides re-apply.
+        from pathlib import Path
+
+        from ..training.config import load_config
+
+        saved = Path(cfg.run_dir) / cfg.resume_run_id / "config.json"
+        resume_id = cfg.resume_run_id
+        cfg = apply_overrides(load_config(saved), rest)
+        cfg = dataclasses.replace(cfg, resume_run_id=resume_id)
     if meta["debug"] == "1":
         cfg = update_cfg_debug(cfg)
 

@@ -21,6 +21,12 @@ class TrainingConfig:
     run_id: str = "run"
     run_dir: str = "runs"
     seed: int = 0
+    # Resume a previous run (full state: params+optimizer+step; continue at
+    # saved epoch + 1) or initialize weights from one (pretrain). Both name
+    # a run_id under run_dir (run_megapose_training.py:315-320,
+    # train_megapose.py:219-241).
+    resume_run_id: str = ""
+    pretrain_run_id: str = ""
 
     # --- data --------------------------------------------------------
     train_datasets: tuple[str, ...] = ()

@@ -174,17 +174,36 @@ def synthetic_batch_fn(
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(run_dir: str | Path, state: TrainState, epoch: int) -> None:
+    """Full training state: params + optimizer state + step (the reference
+    saves weights+epoch only and reconstructs LR arithmetically,
+    train_megapose.py:225-258; saving opt state makes resume exact)."""
     import orbax.checkpoint as ocp
 
     path = Path(run_dir).absolute() / "checkpoints" / f"epoch_{epoch}"
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, {"params": state.params, "step": state.step}, force=True)
+    ckptr.save(
+        path,
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        },
+        force=True,
+    )
     ckptr.wait_until_finished()
     latest = Path(run_dir) / "checkpoints" / "latest.txt"
     latest.write_text(str(epoch))
 
 
-def load_checkpoint(run_dir: str | Path, state: TrainState, epoch: int | None = None):
+def load_checkpoint(
+    run_dir: str | Path,
+    state: TrainState,
+    epoch: int | None = None,
+    params_only: bool = False,
+):
+    """Restore a checkpoint into `state`. `params_only=True` is the
+    pretrain-init path (run_id_pretrain, train_megapose.py:219-223): weights
+    come from the checkpoint, optimizer/step restart fresh."""
     import orbax.checkpoint as ocp
 
     run_dir = Path(run_dir)
@@ -192,10 +211,35 @@ def load_checkpoint(run_dir: str | Path, state: TrainState, epoch: int | None = 
         epoch = int((run_dir / "checkpoints" / "latest.txt").read_text())
     path = (run_dir / "checkpoints" / f"epoch_{epoch}").absolute()
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        path, {"params": state.params, "step": state.step}
-    )
-    return state.replace(params=restored["params"]), epoch
+    if params_only:
+        restored = ckptr.restore(path, {"params": state.params})
+        return state.replace(params=restored["params"]), epoch
+    try:
+        restored = ckptr.restore(
+            path,
+            {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
+        )
+        return (
+            state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                step=restored["step"],
+            ),
+            epoch,
+        )
+    except (KeyError, ValueError, FileNotFoundError):
+        # Older checkpoints carried params+step only.
+        restored = ckptr.restore(
+            path, {"params": state.params, "step": state.step}
+        )
+        return (
+            state.replace(params=restored["params"], step=restored["step"]),
+            epoch,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -227,10 +271,23 @@ def train(
 
     save_config(cfg, run_dir / "config.json")
 
-    key = jax.random.PRNGKey(cfg.seed)
+    base_key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(
-        cfg, model, mesh_db, key, input_res=input_res
+        cfg, model, mesh_db, base_key, input_res=input_res
     )
+
+    # Resume / pretrain init (train_megapose.py:219-241 semantics; unlike
+    # the reference, optimizer state + step are restored too, so LR and
+    # Adam moments continue exactly).
+    start_epoch = 1
+    if cfg.resume_run_id:
+        resume_dir = Path(cfg.run_dir) / cfg.resume_run_id
+        state, ckpt_epoch = load_checkpoint(resume_dir, state)
+        start_epoch = ckpt_epoch + 1
+    elif cfg.pretrain_run_id:
+        pretrain_dir = Path(cfg.run_dir) / cfg.pretrain_run_id
+        state, _ = load_checkpoint(pretrain_dir, state, params_only=True)
+
     step_fn = make_train_step(model, cfg, mesh_db)
 
     n_epochs = n_epochs or cfg.n_epochs
@@ -247,7 +304,7 @@ def train(
             static_argnums=(3,),
         )
 
-    for epoch in range(1, n_epochs + 1):
+    for epoch in range(start_epoch, n_epochs + 1):
         if cfg.add_iteration_epoch_interval > 0:
             n_iter = min(
                 epoch // cfg.add_iteration_epoch_interval + 1, cfg.n_iterations
@@ -260,7 +317,9 @@ def train(
             batch = next(batch_iterator)
             if device_mesh is not None:
                 batch = mesh_lib.shard_batch(batch, device_mesh)
-            key, sub = jax.random.split(key)
+            # Key derived from the optimizer step, not a sequential split:
+            # a resumed run replays the exact key sequence of the original.
+            sub = jax.random.fold_in(base_key, int(state.step))
             state, metrics = step_fn(state, batch, sub, n_iter)
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
@@ -276,11 +335,12 @@ def train(
             and epoch % max(1, cfg.val_epoch_interval) == 0
         ):
             val_losses = []
-            for _ in range(n_val_batches):
+            val_key = jax.random.fold_in(base_key, 2**30 + epoch)
+            for i in range(n_val_batches):
                 vb = next(val_iterator)
                 if device_mesh is not None:
                     vb = mesh_lib.shard_batch(vb, device_mesh)
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(val_key, i)
                 val_losses.append(
                     float(val_loss_fn(state.params, vb, sub, n_iter))
                 )

@@ -207,3 +207,83 @@ def test_checkpoint_roundtrip(mesh_db, tmp_path):
         lambda a, b: np.allclose(a, b), state.params, state2.params
     )
     assert all(jax.tree.leaves(chex_equal))
+
+
+@pytest.mark.slow
+def test_resume_matches_continuous_run(mesh_db, tmp_path):
+    """Kill a run after epoch 2, resume from the checkpoint, and the
+    remaining epochs' losses match a continuous run exactly (optimizer
+    state + step + RNG stream all restored). Reference contract:
+    resume_run_id, train_megapose.py:219-241 — this exceeds it by also
+    restoring Adam moments."""
+    from megapose6d_tpu.training import train
+
+    def cfg_for(run_id, n_epochs):
+        c = make_refiner_cfg(
+            small_cfg(
+                run_id=run_id,
+                run_dir=str(tmp_path),
+                save_epoch_interval=1,
+                init_euler_deg_std=(30.0, 30.0, 30.0),
+                lr=1e-3,
+            )
+        )
+        return dataclasses.replace(
+            c,
+            n_rendered_views=1,
+            multiview_type="front_1view",
+            n_iterations=1,
+            n_epochs=n_epochs,
+        )
+
+    def make_model(cfg):
+        return PosePredictor(
+            PosePredictorConfig(**cfg.model_config_kwargs(), face_chunk=32)
+        )
+
+    # Batch source deterministic in the GLOBAL step index, so the resumed
+    # run sees the same batches the continuous run saw.
+    batch_fn = synthetic_batch_fn(mesh_db, 2, INPUT, f=120.0, face_chunk=32)
+    batch_fn = jax.jit(batch_fn)
+
+    def batches(start_step):
+        i = start_step
+        while True:
+            yield batch_fn(jax.random.fold_in(jax.random.PRNGKey(99), i))
+            i += 1
+
+    steps_per_epoch = 2  # epoch_size=4 / batch_size=2
+
+    def read_log(run_id):
+        lines = (tmp_path / run_id / "log.txt").read_text().splitlines()
+        return {json.loads(l)["epoch"]: json.loads(l) for l in lines}
+
+    # Continuous 4-epoch run.
+    cfg_a = cfg_for("contin", 4)
+    train(cfg_a, make_model(cfg_a), mesh_db, batches(0), input_res=INPUT)
+    log_a = read_log("contin")
+
+    # Interrupted run: 2 epochs...
+    cfg_b = cfg_for("interrupted", 2)
+    train(cfg_b, make_model(cfg_b), mesh_db, batches(0), input_res=INPUT)
+    # ...then resume to 4 (fresh process state simulated by new model/state).
+    cfg_b2 = dataclasses.replace(
+        cfg_for("interrupted", 4), resume_run_id="interrupted"
+    )
+    train(
+        cfg_b2,
+        make_model(cfg_b2),
+        mesh_db,
+        batches(2 * steps_per_epoch),
+        input_res=INPUT,
+    )
+    log_b = read_log("interrupted")
+
+    assert sorted(log_b) == [1, 2, 3, 4]
+    for epoch in (3, 4):
+        np.testing.assert_allclose(
+            log_b[epoch]["loss_total"],
+            log_a[epoch]["loss_total"],
+            rtol=1e-5,
+            err_msg=f"epoch {epoch} diverged after resume",
+        )
