@@ -79,11 +79,24 @@ class PredictionRunner:
             add("final", data)
             traj = extra.get("refiner", {}).get("trajectory")
             if traj is not None and traj.ndim == 5:
-                # [n_iter, D, K, 4, 4] -> best hypothesis (slot of final
-                # top-1 unknown per iter; use hypothesis 0 = coarse best).
-                for it in range(traj.shape[0]):
+                # [n_iter, D, K, 4, 4]: keep ALL K refined hypotheses per
+                # iteration, like the reference (prediction_runner.py:
+                # 120-209 stores every hypothesis row per iteration); the
+                # one that becomes `final` is recoverable via
+                # hypothesis_id == argmax(pose_logits).
+                n_iter, D, K = traj.shape[:3]
+                logits = extra["refiner"].get("pose_logits")
+                for it in range(n_iter):
+                    infos_k = data.infos.loc[
+                        data.infos.index.repeat(K)
+                    ].reset_index(drop=True)
+                    infos_k["hypothesis_id"] = np.tile(np.arange(K), D)
+                    if logits is not None:
+                        infos_k["pose_logit"] = np.asarray(logits).reshape(
+                            D * K
+                        )
                     it_data = PandasTensorCollection(
-                        data.infos.copy(), poses=traj[it, :, 0]
+                        infos_k, poses=traj[it].reshape(D * K, 4, 4)
                     )
                     add(f"refiner/iteration={it + 1}", it_data)
         if not stages:

@@ -48,13 +48,47 @@ def depth_normals(depth: Array, K: Array) -> Array:
     return n * flip
 
 
-def _sample_masked(key: Array, pts: Array, mask: Array, n: int):
-    """Pick `n` points where mask (static size, random without replacement;
-    invalid slots repeat valid ones). Returns (points [n, ...], ok)."""
-    scores = jax.random.uniform(key, mask.shape) + mask.astype(jnp.float32)
-    _, idx = jax.lax.top_k(scores, n)
-    ok = mask.sum() >= 1
-    return pts[idx], mask[idx], ok
+def _masked_sample_idx(
+    key: Array, mask_hw: Array, n: int
+) -> tuple[Array, Array]:
+    """`n` random flat indices of masked pixels + per-slot validity.
+
+    Stratified 2D-lattice sampling instead of `top_k(H*W)`: XLA-TPU lowers
+    top_k to a full sort of the 307k-pixel image, while this is a single
+    max-reduce. Slot (a, b) of an sh x sw grid draws from the pixel lattice
+    {y = a mod sh, x = b mod sw} — every stratum sweeps the whole image, so
+    any object blob larger than one (sh, sw) cell populates ALL n slots.
+    """
+    H, W = mask_hw.shape
+    sh = max(1, int(n**0.5))
+    while n % sh:
+        sh -= 1
+    sw = n // sh
+    Hp = -(-H // sh) * sh
+    Wp = -(-W // sw) * sw
+    scores = jax.random.uniform(key, (H, W)) + mask_hw.astype(jnp.float32)
+    scores = jnp.pad(
+        scores, ((0, Hp - H), (0, Wp - W)), constant_values=-1.0
+    )
+    gh, gw = Hp // sh, Wp // sw
+    cells = scores.reshape(gh, sh, gw, sw).transpose(1, 3, 0, 2)
+    cells = cells.reshape(n, gh * gw)
+    best = jnp.argmax(cells, axis=1)  # [n]
+    valid = jnp.take_along_axis(cells, best[:, None], axis=1)[:, 0] >= 1.0
+    yblk, xblk = best // gw, best % gw
+    a = jnp.arange(n, dtype=best.dtype) // sw
+    b = jnp.arange(n, dtype=best.dtype) % sw
+    y = jnp.minimum(yblk * sh + a, H - 1)
+    x = jnp.minimum(xblk * sw + b, W - 1)
+    return y * W + x, valid
+
+
+def _sample_masked(key: Array, pts: Array, mask_hw: Array, n: int):
+    """Pick `n` points where mask (static size, random; invalid slots are
+    flagged via the returned validity). Returns (points, valid [n], ok)."""
+    idx, valid = _masked_sample_idx(key, mask_hw, n)
+    ok = mask_hw.sum() >= 1
+    return pts[idx], valid, ok
 
 
 def _so3_exp(w: Array) -> Array:
@@ -158,18 +192,16 @@ def icp_refine_pose(
         tgt_ok = tgt_ok & mask
     # The reference restricts the measured points to pixels where the
     # render is also valid (visible-surface correspondence).
-    tgt_ok = (tgt_ok & (depth_rendered > 0)).reshape(-1)
-    src_ok = ((depth_rendered > 0).reshape(-1)) & jnp.isfinite(
-        xyz_src
-    ).all(-1)
+    tgt_ok = tgt_ok & (depth_rendered > 0)
+    src_ok = (depth_rendered > 0) & jnp.isfinite(xyz_src).all(-1).reshape(
+        H, W
+    )
 
     k1, k2 = jax.random.split(key)
     src, src_valid, ok1 = _sample_masked(k1, xyz_src, src_ok, n_points)
-    tgt_idx_scores = jax.random.uniform(k2, tgt_ok.shape) + tgt_ok
-    _, tgt_idx = jax.lax.top_k(tgt_idx_scores, n_points)
+    tgt_idx, tgt_valid = _masked_sample_idx(k2, tgt_ok, n_points)
     tgt = xyz_tgt[tgt_idx]
     tgt_nrm = nrm_tgt[tgt_idx]
-    tgt_valid = tgt_ok[tgt_idx]
 
     # Centroid pre-alignment (icp_refinement:158-164).
     w_src = src_valid.astype(src.dtype)[:, None]
