@@ -162,9 +162,97 @@ class WideResNet(nn.Module):
         return x.astype(jnp.float32)
 
 
+class ZooBasicBlockV2(nn.Module):
+    """Pre-activation block matching the reference zoo checkpoints
+    (wide_resnet.py:BasicBlockV2:29-56): BN -> relu -> conv3x3 -> BN ->
+    relu -> conv3x3, residual taken from the PRE-ACTIVATED input through a
+    norm-free 1x1 conv when shape changes. Inference-only BatchNorm
+    (running stats come from the converted torch checkpoint)."""
+
+    features: int
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(
+            nn.BatchNorm(
+                use_running_average=True, dtype=self.dtype,
+                param_dtype=jnp.float32, name="bn1",
+            )(x)
+        )
+        if self.strides != 1 or x.shape[-1] != self.features:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=self.strides, use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32, name="downsample",
+            )(out)
+        else:
+            residual = x
+        out = nn.Conv(
+            self.features, (3, 3), strides=self.strides, padding=1,
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name="conv1",
+        )(out)
+        out = nn.relu(
+            nn.BatchNorm(
+                use_running_average=True, dtype=self.dtype,
+                param_dtype=jnp.float32, name="bn2",
+            )(out)
+        )
+        out = nn.Conv(
+            self.features, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv2",
+        )(out)
+        return out + residual
+
+
+class ZooWideResNet(nn.Module):
+    """The reference checkpoints' actual backbone: `backbone_str=resnet34`
+    resolves to WideResNet34 (pose_models_cfg.py:110-113, wide_resnet.py:
+    59-133) — 5x5/2 BN stem, maxpool, 4 pre-act stages, global mean pool.
+    Weight-compatible with converted torch state_dicts
+    (interop/torch_convert.py); module names mirror the torch key paths."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)  # WRN-34
+    width: int = 64
+    n_features: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.width, (5, 5), strides=2, padding=2, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
+        )(x)
+        x = nn.relu(
+            nn.BatchNorm(
+                use_running_average=True, dtype=self.dtype,
+                param_dtype=jnp.float32, name="bn1",
+            )(x)
+        )
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, n_blocks in enumerate(self.stage_sizes):
+            features = self.width * (2**i)
+            for b in range(n_blocks):
+                strides = 2 if (i > 0 and b == 0) else 1
+                x = ZooBasicBlockV2(
+                    features, strides, self.dtype,
+                    name=f"layer{i + 1}_{b}",
+                )(x)
+        x = jnp.mean(x, axis=(1, 2))  # [B, 512]
+        return x.astype(jnp.float32)
+
+
 def make_backbone(name: str, n_features: int = 512, dtype=jnp.float32):
     """Backbone registry (training/pose_models_cfg.py:check_update_config
-    name scheme: resnet34 / resnet18 / wide_resnet18 / wide_resnet34)."""
+    name scheme: resnet34 / resnet18 / wide_resnet18 / wide_resnet34).
+
+    `zoo_resnet34` / `zoo_resnet18` are the torch-checkpoint-compatible
+    BatchNorm variants (what the reference actually builds for
+    backbone_str=resnet34, pose_models_cfg.py:110-113); the default
+    `resnet34` stays the GroupNorm TPU-native design.
+    """
     if name == "resnet34":
         return ResNet((3, 4, 6, 3), n_features=n_features, dtype=dtype)
     if name == "resnet18":
@@ -173,4 +261,8 @@ def make_backbone(name: str, n_features: int = 512, dtype=jnp.float32):
         return WideResNet((2, 2, 2, 2), n_features=n_features, dtype=dtype)
     if name == "wide_resnet34":
         return WideResNet((3, 4, 6, 3), n_features=n_features, dtype=dtype)
+    if name == "zoo_resnet34":
+        return ZooWideResNet((3, 4, 6, 3), n_features=n_features, dtype=dtype)
+    if name == "zoo_resnet18":
+        return ZooWideResNet((2, 2, 2, 2), n_features=n_features, dtype=dtype)
     raise ValueError(f"unknown backbone: {name}")
