@@ -170,10 +170,10 @@ class BOPScoreMeter:
         self.n_points = n_points
         self.datas: dict[str, list] = defaultdict(list)
 
-    def add(self, pred_data, gt_data) -> None:
+    def add(self, pred_data, gt_data, frame=None) -> None:
         keys = tuple(
             k
-            for k in ("scene_id", "view_id", "label")
+            for k in ("scene_id", "view_id", "label", "instance_id")
             if k in pred_data.infos.columns and k in gt_data.infos.columns
         )
         matches = one_to_one_matching(pred_data.infos, gt_data.infos, keys=keys)
@@ -183,19 +183,30 @@ class BOPScoreMeter:
         idx = self.mesh_db.label_to_index(labels)
         meshes = self.mesh_db.select(idx)
         pts = np.asarray(meshes.points)[:, : self.n_points]
+        TCO_pred = np.asarray(pred_data.poses)[pred_ids]
+        TCO_gt = np.asarray(gt_data.poses)[gt_ids]
+        K = np.asarray(gt_data.K)[gt_ids]
         errs = compute_mssd_mspd(
-            np.asarray(pred_data.poses)[pred_ids],
-            np.asarray(gt_data.poses)[gt_ids],
+            TCO_pred,
+            TCO_gt,
             pts,
-            np.asarray(gt_data.K)[gt_ids],
+            K,
             np.asarray(meshes.symmetries),
             np.asarray(meshes.sym_valid),
         )
         self.datas["mssd"].extend(errs["mssd"].tolist())
         self.datas["mspd"].extend(errs["mspd"].tolist())
-        self.datas["diameter"].extend(
-            np.asarray(meshes.diameters).tolist()
-        )
+        diam = np.asarray(meshes.diameters)
+        self.datas["diameter"].extend(diam.tolist())
+        if frame is not None and frame.depth is not None:
+            # In-tree VSD via the on-device renderer (evaluation/vsd.py) —
+            # completes the BOP19 AR triple without the toolkit subprocess.
+            from .vsd import compute_vsd
+
+            e_vsd = compute_vsd(
+                frame.depth, TCO_pred, TCO_gt, K[0], meshes, diam
+            )  # [N, n_taus]
+            self.datas["vsd"].extend(e_vsd.tolist())
 
     def summary(self) -> dict[str, float]:
         mssd = np.asarray(self.datas["mssd"])
@@ -211,13 +222,23 @@ class BOPScoreMeter:
             float((mspd < t * scale).sum() / n)
             for t in np.arange(5.0, 50.1, 5.0)
         ]
-        return {
+        out = {
             "n": int(len(mssd)),
             "AR_MSSD": float(np.mean(rec_mssd)) if len(mssd) else 0.0,
             "AR_MSPD": float(np.mean(rec_mspd)) if len(mssd) else 0.0,
             "mssd_median": float(np.median(mssd)) if len(mssd) else float("nan"),
             "mspd_median": float(np.median(mspd)) if len(mssd) else float("nan"),
         }
+        if self.datas["vsd"]:
+            from .vsd import vsd_recall
+
+            out["AR_VSD"] = vsd_recall(np.asarray(self.datas["vsd"]))
+            out["AR"] = float(
+                np.mean([out["AR_VSD"], out["AR_MSSD"], out["AR_MSPD"]])
+            )
+        else:
+            out["AR"] = float(np.mean([out["AR_MSSD"], out["AR_MSPD"]]))
+        return out
 
 
 class Meter:
@@ -229,7 +250,7 @@ class Meter:
     def reset(self) -> None:
         self.datas = defaultdict(list)
 
-    def add(self, pred_data, gt_data) -> None:
+    def add(self, pred_data, gt_data, frame=None) -> None:
         raise NotImplementedError
 
     def gather_distributed(self, arrays_by_rank: list[dict]) -> None:
@@ -252,10 +273,11 @@ class ModelNetErrorMeter(Meter):
         self,
         pred_data: PandasTensorCollection,
         gt_data: PandasTensorCollection,
+        frame=None,
     ) -> None:
         keys = tuple(
             k
-            for k in ("scene_id", "view_id", "label")
+            for k in ("scene_id", "view_id", "label", "instance_id")
             if k in pred_data.infos.columns and k in gt_data.infos.columns
         )
         matches = one_to_one_matching(

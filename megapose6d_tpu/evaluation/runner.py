@@ -123,7 +123,17 @@ class EvaluationRunner:
             frame = self._find_frame(str(scene_id), int(view_id))
             gt_objects = frame.gt_detections()
             gt = PandasTensorCollection(
-                pd.DataFrame({"label": [o.label for o in gt_objects]}),
+                # instance_id mirrors the detection order fed to the
+                # pipeline (gt_detections -> make_detections arange), so
+                # multi-instance scenes match one-to-one.
+                pd.DataFrame(
+                    {
+                        "label": [o.label for o in gt_objects],
+                        "instance_id": np.arange(
+                            len(gt_objects), dtype=np.int64
+                        ),
+                    }
+                ),
                 poses=np.stack([o.TWO for o in gt_objects]).astype(
                     np.float32
                 ),
@@ -134,13 +144,20 @@ class EvaluationRunner:
             )
             pred = predictions[row_ids]
             for meter in self.meters.values():
-                meter.add(pred, gt)
+                meter.add(pred, gt, frame=frame)
         return {k: m.summary() for k, m in self.meters.items()}
 
     def _find_frame(self, scene_id: str, view_id: int) -> SceneObservation:
         fi = self.scene_ds.frame_index
+
+        def norm(s):
+            # BOP scene dirs are zero-padded ("000048") while prediction
+            # infos carry plain ints; compare canonicalized.
+            s = str(s)
+            return str(int(s)) if s.isdigit() else s
+
         rows = fi[
-            (fi["scene_id"].astype(str) == scene_id)
+            (fi["scene_id"].astype(str).map(norm) == norm(scene_id))
             & (fi["view_id"] == view_id)
         ]
         assert len(rows) == 1, (scene_id, view_id, len(rows))

@@ -10,6 +10,7 @@ from .io import (  # noqa: F401
     make_cube,
     make_cylinder,
     make_uv_sphere,
+    save_ply,
     simplify_vertex_clustering,
 )
 from .mesh_db import (  # noqa: F401

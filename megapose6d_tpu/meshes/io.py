@@ -519,3 +519,51 @@ def make_axes(length: float = 0.1, radius_ratio: float = 0.03) -> TriMesh:
         np.concatenate(faces).astype(np.int32),
         vertex_colors=np.concatenate(colors),
     ).with_computed_normals()
+
+
+def save_ply(mesh: TriMesh, path: str | Path) -> Path:
+    """ASCII PLY writer (BOP models are PLY; bop_datasets_format.md).
+
+    Writes positions, normals (computed if absent), and uint8 vertex
+    colors when present — enough for `load_ply` and the BOP toolkit to
+    round-trip the mesh.
+    """
+    mesh = mesh.with_computed_normals()
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    has_color = mesh.vertex_colors is not None
+    lines = [
+        "ply",
+        "format ascii 1.0",
+        f"element vertex {mesh.n_vertices}",
+        "property float x",
+        "property float y",
+        "property float z",
+        "property float nx",
+        "property float ny",
+        "property float nz",
+    ]
+    if has_color:
+        lines += [
+            "property uchar red",
+            "property uchar green",
+            "property uchar blue",
+        ]
+    lines += [
+        f"element face {mesh.n_faces}",
+        "property list uchar int vertex_indices",
+        "end_header",
+    ]
+    n = mesh.vertex_normals
+    if has_color:
+        c8 = np.clip(mesh.vertex_colors * 255.0, 0, 255).astype(np.uint8)
+    rows = []
+    for i, v in enumerate(mesh.vertices):
+        row = f"{v[0]} {v[1]} {v[2]} {n[i][0]} {n[i][1]} {n[i][2]}"
+        if has_color:
+            row += f" {c8[i][0]} {c8[i][1]} {c8[i][2]}"
+        rows.append(row)
+    for f in mesh.faces:
+        rows.append(f"3 {f[0]} {f[1]} {f[2]}")
+    path.write_text("\n".join(lines + rows) + "\n")
+    return path

@@ -142,6 +142,94 @@ def generate(
     return shards
 
 
+def generate_bop(
+    mesh_db,
+    objects,
+    ds_dir: str | Path,
+    n_frames: int,
+    resolution=(480, 640),
+    n_obj_per_scene: int = 3,
+    f: float = 600.0,
+    frames_per_scene: int = 100,
+    seed: int = 0,
+    split: str = "test",
+    write_models: bool = True,
+) -> Path:
+    """BOP-layout variant of `generate` (data/bop_writer.py): the output
+    feeds BOPDataset -> run_eval -> BOPScoreMeter / bop_toolkit directly."""
+    from ..data.bop_writer import write_bop_models, write_scene_ds_as_bop
+    from ..evaluation.bop import label_to_obj_id
+
+    ds_dir = Path(ds_dir)
+    render = make_scene_renderer(mesh_db, n_obj_per_scene, resolution, f)
+    labels = mesh_db.labels
+
+    if write_models:
+        write_bop_models(
+            (
+                (label_to_obj_id(obj.label), obj.load())
+                for obj in objects.objects
+            ),
+            ds_dir / "models",
+        )
+
+    def observations():
+        key = jax.random.PRNGKey(seed)
+        for i in range(n_frames):
+            key, sub = jax.random.split(key)
+            rgb, depth, seg, TCO, mesh_idx, K = render(sub)
+            rgb8 = np.asarray(jnp.clip(rgb * 255, 0, 255).astype(jnp.uint8))
+            seg_np = np.asarray(seg).astype(np.uint32)
+            object_datas = []
+            for n in range(n_obj_per_scene):
+                if (seg_np == n + 1).sum() < 16:
+                    continue
+                object_datas.append(
+                    ObjectData(
+                        label=labels[int(mesh_idx[n])],
+                        TWO=np.asarray(TCO[n], np.float64),
+                        unique_id=n + 1,
+                        visib_fract=1.0,
+                    )
+                )
+            yield SceneObservation(
+                rgb=rgb8,
+                depth=np.asarray(depth, np.float32),
+                segmentation=seg_np,
+                infos=ObservationInfos(
+                    scene_id=str(i // frames_per_scene), view_id=i
+                ),
+                object_datas=object_datas,
+                camera_data=CameraData(
+                    K=np.asarray(K, np.float64), resolution=resolution
+                ),
+            )
+            if (i + 1) % 500 == 0:
+                logger.info(f"rendered {i + 1}/{n_frames} frames")
+
+    out = write_scene_ds_as_bop(observations(), ds_dir, split=split)
+    logger.info(f"wrote BOP split {out}")
+    return out
+
+
+def _default_objects():
+    """Procedural objects with BOP-convention labels (obj_000001...)."""
+    from ..meshes.io import make_cube, make_uv_sphere
+    from ..meshes.mesh_db import RigidObject, RigidObjectDataset
+
+    return RigidObjectDataset(
+        [
+            RigidObject(
+                label="obj_000001", mesh=make_cube(0.04, (0.8, 0.2, 0.2))
+            ),
+            RigidObject(
+                label="obj_000002",
+                mesh=make_uv_sphere(0.04, color=(0.2, 0.4, 0.8)),
+            ),
+        ]
+    )
+
+
 def main(argv=None):
     args = dict(
         out_dir="synth_wds",
@@ -151,6 +239,8 @@ def main(argv=None):
         n_obj_per_scene="3",
         frames_per_shard="1000",
         seed="0",
+        format="wds",
+        split="test",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -161,30 +251,34 @@ def main(argv=None):
         from ..data.datasets_cfg import make_object_dataset
 
         objects = make_object_dataset(args["object_dataset"])
+        write_models = False  # source BOP dataset already ships models/
     else:
-        from ..meshes.io import make_cube, make_uv_sphere
-        from ..meshes.mesh_db import RigidObject, RigidObjectDataset
-
-        objects = RigidObjectDataset(
-            [
-                RigidObject(label="cube", mesh=make_cube(0.04, (0.8, 0.2, 0.2))),
-                RigidObject(
-                    label="sphere",
-                    mesh=make_uv_sphere(0.04, color=(0.2, 0.4, 0.8)),
-                ),
-            ]
-        )
+        objects = _default_objects()
+        write_models = True
     mesh_db = MeshDataBase.from_object_ds(objects).batched()
     res = tuple(int(x) for x in args["resolution"].split(","))
-    generate(
-        mesh_db,
-        args["out_dir"],
-        int(args["n_frames"]),
-        resolution=res,
-        n_obj_per_scene=int(args["n_obj_per_scene"]),
-        frames_per_shard=int(args["frames_per_shard"]),
-        seed=int(args["seed"]),
-    )
+    if args["format"] == "bop":
+        generate_bop(
+            mesh_db,
+            objects,
+            args["out_dir"],
+            int(args["n_frames"]),
+            resolution=res,
+            n_obj_per_scene=int(args["n_obj_per_scene"]),
+            seed=int(args["seed"]),
+            split=args["split"],
+            write_models=write_models,
+        )
+    else:
+        generate(
+            mesh_db,
+            args["out_dir"],
+            int(args["n_frames"]),
+            resolution=res,
+            n_obj_per_scene=int(args["n_obj_per_scene"]),
+            frames_per_shard=int(args["frames_per_shard"]),
+            seed=int(args["seed"]),
+        )
 
 
 if __name__ == "__main__":

@@ -21,7 +21,6 @@ from ..evaluation.meters import BOPScoreMeter, ModelNetErrorMeter
 from ..evaluation.runner import EvaluationRunner, PredictionRunner
 from ..inference.pose_estimator import PoseEstimator
 from ..inference.types import InferenceConfig
-from ..meshes.mesh_db import MeshDataBase
 from ..utils.logging import get_logger
 
 logger = get_logger(__name__)
@@ -41,6 +40,8 @@ def main(argv=None):
         n_pose_hypotheses="5",
         max_detections="8",
         load_depth="0",
+        render_size="240,320",
+        max_faces="4096",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -51,7 +52,6 @@ def main(argv=None):
         args["dataset"], load_depth=args["load_depth"] == "1"
     )
     object_ds = make_object_dataset(args["dataset"])
-    mesh_db = MeshDataBase.from_object_ds(object_ds).batched()
 
     from .run_inference_on_example import load_or_init_models
 
@@ -59,6 +59,8 @@ def main(argv=None):
         object_ds,
         args["coarse_run"] or None,
         args["refiner_run"] or None,
+        render_size=tuple(int(x) for x in args["render_size"].split(",")),
+        max_faces=int(args["max_faces"]),
     )
     cfg = InferenceConfig(
         SO3_grid_size=int(args["so3_grid_size"]),
