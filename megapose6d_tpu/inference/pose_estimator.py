@@ -72,12 +72,20 @@ class PoseEstimator:
         depth_refiner=None,
         detector=None,
         device_mesh=None,
+        mesh_db_coarse: BatchedMeshes | None = None,
     ):
         self.coarse_model = coarse_model
         self.coarse_params = coarse_params
         self.refiner_model = refiner_model
         self.refiner_params = refiner_params
         self.mesh_db = mesh_db
+        # Optional low-LOD mesh DB (decimated faces, same labels/points)
+        # used by the coarse scorer + rescoring: at SO(3)-grid scale the
+        # render cost is linear in face count while the coarse classifier
+        # only needs silhouette-level fidelity. The refiner always renders
+        # the full-LOD meshes. TPU-first optimization with no reference
+        # analog (the Panda3D farm always renders full meshes).
+        self.mesh_db_coarse = mesh_db_coarse if mesh_db_coarse is not None else mesh_db
         self.cfg = cfg
         self.depth_refiner = depth_refiner
         self.detector = detector
@@ -140,7 +148,7 @@ class PoseEstimator:
 
         def score_chunk(args):
             TCO_c, idx_c = args
-            meshes_c = self.mesh_db.select(idx_c)
+            meshes_c = self.mesh_db_coarse.select(idx_c)
             imgs = jnp.broadcast_to(
                 images, (chunk,) + images.shape[1:]
             )
@@ -207,7 +215,7 @@ class PoseEstimator:
 
         mesh = self.device_mesh
         model = self.coarse_model
-        mesh_db = self.mesh_db
+        mesh_db = self.mesh_db_coarse
 
         def score_shard(params, db, images_r, K_r, TCO_s, idx_s):
             n_local = TCO_s.shape[0]
@@ -331,7 +339,7 @@ class PoseEstimator:
 
         def score_chunk(args):
             TCO_c, idx_c = args
-            meshes_c = self.mesh_db.select(idx_c)
+            meshes_c = self.mesh_db_coarse.select(idx_c)
             imgs = jnp.broadcast_to(images, (chunk,) + images.shape[1:])
             K_c = jnp.broadcast_to(K, (chunk, 3, 3))
             out = self.coarse_model.apply(

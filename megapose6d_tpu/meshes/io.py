@@ -24,6 +24,14 @@ class TriMesh:
     faces: np.ndarray  # [F, 3] int32
     vertex_normals: np.ndarray | None = None  # [V, 3]
     vertex_colors: np.ndarray | None = None  # [V, 3] in [0, 1]
+    # Per-pixel texturing (reference capability: Panda3D textured render,
+    # panda3d_scene_renderer.py:298-358). UVs are per-VERTEX in [0, 1]
+    # image convention (u right, v down); OBJ meshes with per-corner vt
+    # are re-indexed at load so this holds. `texture` is [TH, TW, 3]
+    # uint8. Both None for untextured meshes (vertex colors then drive
+    # the render).
+    vertex_uvs: np.ndarray | None = None  # [V, 2] float32 in [0, 1]
+    texture: np.ndarray | None = None  # [TH, TW, 3] uint8
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, np.float32)
@@ -100,12 +108,16 @@ def load_ply(path: str | Path) -> TriMesh:
 
     fmt = None
     elements: list[tuple[str, int, list]] = []  # (name, count, props)
+    texture_file = None
     for line in header:
         tok = line.strip().split()
         if not tok:
             continue
         if tok[0] == "format":
             fmt = tok[1]
+        elif tok[0] == "comment" and len(tok) >= 3 and tok[1] == "TextureFile":
+            # BOP convention: `comment TextureFile obj_000001.png`.
+            texture_file = tok[2]
         elif tok[0] == "element":
             elements.append((tok[1], int(tok[2]), []))
         elif tok[0] == "property":
@@ -115,7 +127,7 @@ def load_ply(path: str | Path) -> TriMesh:
                 elements[-1][2].append(("scalar", tok[1], tok[2]))
 
     assert fmt in ("ascii", "binary_little_endian"), fmt
-    verts = normals = colors = None
+    verts = normals = colors = uvs = None
     faces = None
 
     if fmt == "ascii":
@@ -129,7 +141,7 @@ def load_ply(path: str | Path) -> TriMesh:
                     [r.split() for r in chunk], dtype=np.float64
                 )
                 cols = [p[2] for p in props]
-                verts, normals, colors = _extract_vertex_cols(arr, cols)
+                verts, normals, colors, uvs = _extract_vertex_cols(arr, cols)
             elif name == "face":
                 faces = _parse_ascii_faces(chunk)
     else:
@@ -146,7 +158,9 @@ def load_ply(path: str | Path) -> TriMesh:
                     flat = np.stack(
                         [arr[c].astype(np.float64) for c in cols], -1
                     )
-                    verts, normals, colors = _extract_vertex_cols(flat, cols)
+                    verts, normals, colors, uvs = _extract_vertex_cols(
+                        flat, cols
+                    )
             else:
                 # Face element with a list property (+ possibly extra
                 # scalars, e.g. texture coords): parse row by row.
@@ -171,11 +185,24 @@ def load_ply(path: str | Path) -> TriMesh:
                     faces = _triangulate(out)
 
     assert verts is not None and faces is not None, f"PLY missing data: {path}"
+    texture = None
+    if texture_file is not None and uvs is not None:
+        tex_path = Path(path).parent / texture_file
+        if tex_path.exists():
+            from PIL import Image
+
+            texture = np.asarray(Image.open(tex_path).convert("RGB"), np.uint8)
+            # PLY texture_v uses GL convention (v up); flip to image rows.
+            uvs = np.stack([uvs[:, 0], 1.0 - uvs[:, 1]], axis=-1)
+    if texture is None:
+        uvs = None
     return TriMesh(
         vertices=verts.astype(np.float32),
         faces=faces.astype(np.int32),
         vertex_normals=None if normals is None else normals.astype(np.float32),
         vertex_colors=None if colors is None else colors.astype(np.float32),
+        vertex_uvs=None if uvs is None else uvs.astype(np.float32),
+        texture=texture,
     )
 
 
@@ -189,7 +216,10 @@ def _extract_vertex_cols(arr, cols):
     colors = get(["red", "green", "blue"])
     if colors is not None and colors.max() > 1.0:
         colors = colors / 255.0
-    return verts, normals, colors
+    uvs = get(["texture_u", "texture_v"])
+    if uvs is None:
+        uvs = get(["s", "t"])
+    return verts, normals, colors, uvs
 
 
 def _parse_ascii_faces(rows: list[str]) -> np.ndarray:
@@ -255,19 +285,42 @@ def load_obj(path: str | Path, bake_texture: bool = True) -> TriMesh:
     faces = np.asarray(faces_v, np.int64)
     faces = np.where(faces > 0, faces - 1, faces + nv)
 
-    colors = None
-    if bake_texture and mtl_file and vts and len(faces_vt) == len(faces_v):
+    tex = None
+    fvt = None
+    if mtl_file and vts and len(faces_vt) == len(faces_v):
         tex = _load_mtl_texture(path.parent / mtl_file)
         if tex is not None:
-            uvs = np.asarray(vts, np.float64)
+            uvs_raw = np.asarray(vts, np.float64)
             fvt = np.asarray(faces_vt, np.int64)
-            fvt = np.where(fvt > 0, fvt - 1, fvt + len(uvs))
-            colors = _bake_vertex_colors(nv, faces, fvt, uvs, tex)
+            fvt = np.where(fvt > 0, fvt - 1, fvt + len(uvs_raw))
+
+    colors = None
+    vertex_uvs = None
+    texture_u8 = None
+    if tex is not None:
+        if bake_texture:
+            colors = _bake_vertex_colors(nv, faces, fvt, uvs_raw, tex)
+        else:
+            # Keep per-pixel texturing: OBJ uvs are per face corner, so
+            # split vertices on unique (v_idx, vt_idx) pairs to make them
+            # per-vertex (standard GL-style re-indexing).
+            pairs = np.stack([faces.reshape(-1), fvt.reshape(-1)], axis=1)
+            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+            verts = verts[uniq[:, 0]]
+            uv = uvs_raw[uniq[:, 1]]
+            # OBJ v is GL convention (v up); flip to image rows.
+            vertex_uvs = np.stack(
+                [uv[:, 0] % 1.0, (1.0 - uv[:, 1]) % 1.0], axis=-1
+            ).astype(np.float32)
+            faces = inv.reshape(-1, 3)
+            texture_u8 = (np.clip(tex, 0, 1) * 255).astype(np.uint8)
 
     return TriMesh(
         vertices=verts.astype(np.float32),
         faces=faces.astype(np.int32),
         vertex_colors=colors,
+        vertex_uvs=vertex_uvs,
+        texture=texture_u8,
     )
 
 
@@ -305,6 +358,20 @@ def _bake_vertex_colors(nv, faces, faces_vt, uvs, tex) -> np.ndarray:
     np.add.at(colors, vidx, texel)
     np.add.at(counts, vidx, 1.0)
     return (colors / np.maximum(counts, 1.0)).astype(np.float32)
+
+
+def bake_texture_to_colors(mesh: TriMesh) -> TriMesh:
+    """Sample the texture at each vertex UV -> vertex colors; drops the
+    texture. Used for low-LOD copies and texture-free render paths."""
+    if mesh.texture is None or mesh.vertex_uvs is None:
+        return mesh
+    H, W, _ = mesh.texture.shape
+    u = np.clip(mesh.vertex_uvs[:, 0] * (W - 1), 0, W - 1).astype(np.int64)
+    v = np.clip(mesh.vertex_uvs[:, 1] * (H - 1), 0, H - 1).astype(np.int64)
+    colors = mesh.texture[v, u].astype(np.float32) / 255.0
+    return dataclasses.replace(
+        mesh, vertex_colors=colors, vertex_uvs=None, texture=None
+    )
 
 
 def load_mesh(path: str | Path, **kw) -> TriMesh:

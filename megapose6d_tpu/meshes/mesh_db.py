@@ -22,7 +22,22 @@ import numpy as np
 from flax import struct
 
 from ..ops import symmetries as sym_ops
-from .io import TriMesh, load_mesh, simplify_vertex_clustering
+from .io import (
+    TriMesh,
+    bake_texture_to_colors,
+    load_mesh,
+    simplify_vertex_clustering,
+)
+
+
+def _resize_texture(tex: "np.ndarray", size: int) -> "np.ndarray":
+    """Resize a [H, W, 3] uint8 texture to [size, size, 3] (PIL bilinear)."""
+    if tex.shape[0] == size and tex.shape[1] == size:
+        return tex
+    from PIL import Image
+
+    img = Image.fromarray(tex).resize((size, size), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
 
 Array = jax.Array
 
@@ -150,6 +165,17 @@ class BatchedMeshes:
     sym_valid: Array  # [L, S] bool
     diameters: Array  # [L] f32
     labels: tuple[str, ...] = struct.field(pytree_node=False)
+    # Per-pixel texturing (optional; reference capability =
+    # panda3d_scene_renderer.py:298-358 textured render). `uvs` are
+    # image-convention per-vertex texcoords; `textures` a uint8 atlas
+    # (resized square, one slot per label); `has_tex` selects per label
+    # whether the rasterizer samples the texture or the baked vertex
+    # colors. uint8 keeps HBM cost at L * ts^2 * 3 bytes (e.g. 20k
+    # objects at 128^2 = 0.98 GB) — for beyond-HBM object counts see the
+    # sharded mesh-DB design.
+    uvs: Array | None = None  # [L, V, 2] f32 in [0, 1]
+    textures: Array | None = None  # [L, TS, TS, 3] uint8
+    has_tex: Array | None = None  # [L] bool
 
     @property
     def n_labels(self) -> int:
@@ -162,6 +188,7 @@ class BatchedMeshes:
     def select(self, idx: Array) -> "BatchedMeshes":
         """Gather a hypothesis batch `[B, ...]` of meshes by label index."""
         take = lambda a: jnp.take(a, idx, axis=0)
+        opt = lambda a: None if a is None else take(a)
         return BatchedMeshes(
             vertices=take(self.vertices),
             normals=take(self.normals),
@@ -173,6 +200,9 @@ class BatchedMeshes:
             sym_valid=take(self.sym_valid),
             diameters=take(self.diameters),
             labels=self.labels,
+            uvs=opt(self.uvs),
+            textures=opt(self.textures),
+            has_tex=opt(self.has_tex),
         )
 
 
@@ -186,6 +216,10 @@ def save_batched_meshes(path, batched: "BatchedMeshes") -> None:
             "points", "symmetries", "sym_valid", "diameters",
         )
     }
+    for k in ("uvs", "textures", "has_tex"):
+        v = getattr(batched, k)
+        if v is not None:
+            arrays[k] = np.asarray(v)
     np.savez_compressed(path, labels=np.asarray(batched.labels), **arrays)
 
 
@@ -202,6 +236,9 @@ def load_batched_meshes(path) -> "BatchedMeshes":
         sym_valid=jnp.asarray(data["sym_valid"]),
         diameters=jnp.asarray(data["diameters"]),
         labels=tuple(str(l) for l in data["labels"]),
+        uvs=jnp.asarray(data["uvs"]) if "uvs" in data else None,
+        textures=jnp.asarray(data["textures"]) if "textures" in data else None,
+        has_tex=jnp.asarray(data["has_tex"]) if "has_tex" in data else None,
     )
 
 
@@ -219,17 +256,28 @@ class MeshDataBase:
         max_faces: int = 4096,
         n_points: int = 2000,
         n_sym: int = 32,
+        keep_textures: bool = True,
+        texture_size: int = 256,
     ):
         self.objects = objects
         self.max_faces = max_faces
         self.n_points = n_points
         self.n_sym = n_sym
+        self.keep_textures = keep_textures
+        self.texture_size = texture_size
         self.meshes: dict[str, TriMesh] = {}
         self._sym_poses: dict[str, np.ndarray] = {}
         for obj in objects.objects:
             mesh = obj.load()
+            if not keep_textures:
+                mesh = bake_texture_to_colors(mesh)
             if mesh.n_faces > max_faces:
-                mesh = simplify_vertex_clustering(mesh, max_faces)
+                # Vertex clustering merges UV seams; bake the texture to
+                # vertex colors first (decimated LODs are the coarse-
+                # scoring path where silhouettes dominate anyway).
+                mesh = simplify_vertex_clustering(
+                    bake_texture_to_colors(mesh), max_faces
+                )
             # Morton-order faces by centroid: the tiled rasterizer skips
             # whole face chunks per screen tile, which needs consecutive
             # faces to be spatially adjacent (ops/rasterizer_tiled.py).
@@ -273,6 +321,15 @@ class MeshDataBase:
         svalid = np.zeros((L, S), bool)
         diam = np.zeros((L,), np.float32)
 
+        any_tex = any(
+            m.texture is not None and m.vertex_uvs is not None
+            for m in self.meshes.values()
+        )
+        TS = self.texture_size
+        uvs = np.zeros((L, V, 2), np.float32) if any_tex else None
+        texs = np.zeros((L, TS, TS, 3), np.uint8) if any_tex else None
+        htex = np.zeros((L,), bool) if any_tex else None
+
         rng = np.random.RandomState(0)
         for i, label in enumerate(labels):
             m = self.meshes[label]
@@ -281,8 +338,16 @@ class MeshDataBase:
             verts[i, nv:] = m.vertices[-1]  # pad with last vertex
             norms[i, :nv] = m.vertex_normals
             norms[i, nv:] = m.vertex_normals[-1]
-            cols[i, :nv] = m.vertex_colors
-            cols[i, nv:] = m.vertex_colors[-1]
+            if m.vertex_colors is not None:
+                cols[i, :nv] = m.vertex_colors
+                cols[i, nv:] = m.vertex_colors[-1]
+            else:
+                cols[i] = 0.5
+            if any_tex and m.texture is not None and m.vertex_uvs is not None:
+                uvs[i, :nv] = m.vertex_uvs
+                uvs[i, nv:] = m.vertex_uvs[-1]
+                texs[i] = _resize_texture(m.texture, TS)
+                htex[i] = True
             faces[i, :nf] = m.faces
             fvalid[i, :nf] = True
             # Loss points: cyclic repetition of vertices (reference pads
@@ -308,4 +373,7 @@ class MeshDataBase:
             sym_valid=jnp.asarray(svalid),
             diameters=jnp.asarray(diam),
             labels=tuple(labels),
+            uvs=None if uvs is None else jnp.asarray(uvs),
+            textures=None if texs is None else jnp.asarray(texs),
+            has_tex=None if htex is None else jnp.asarray(htex),
         )

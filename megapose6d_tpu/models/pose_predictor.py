@@ -230,6 +230,19 @@ class PosePredictor(nn.Module):
             KV.reshape(B * V, 3, 3),
             cfg.render_size,
         )
+        tex_kw = {}
+        if (
+            mesh_mv.textures is not None
+            and mesh_mv.uvs is not None
+            and mesh_mv.has_tex is not None
+        ):
+            # Per-pixel texture sampling (Panda3D texture-mapping parity,
+            # panda3d_scene_renderer.py:298-358).
+            tex_kw = dict(
+                uvs=mesh_mv.uvs,
+                textures=mesh_mv.textures,
+                has_tex=mesh_mv.has_tex,
+            )
         if cfg.renderer == "tiled":
             out = rasterizer_tiled.render_meshes_tiled(
                 *render_args,
@@ -241,6 +254,7 @@ class PosePredictor(nn.Module):
                 # The Pallas kernel runs compiled on TPU, interpreted on
                 # host CPU (tests / virtual-device dryruns).
                 interpret=jax.default_backend() == "cpu",
+                **tex_kw,
             )
         else:
             out = rasterizer.render_meshes(
@@ -249,6 +263,7 @@ class PosePredictor(nn.Module):
                 chunk=cfg.face_chunk,
                 light_ambient=light_ambient,
                 light_point=light_point,
+                **tex_kw,
             )
         chans = [out.rgb]
         if cfg.render_normals:

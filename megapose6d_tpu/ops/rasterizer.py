@@ -160,6 +160,61 @@ def _visibility_single(
     return face_id, invz
 
 
+def sample_textures_bilinear(
+    textures: Array,  # [B, TS, TS, 3] uint8
+    uv: Array,  # [B, H, W, 2] in [0, 1] (image convention: u right, v down)
+) -> Array:
+    """Per-image bilinear texture lookup -> [B, H, W, 3] float in [0, 1].
+
+    The per-pixel texture gather runs in XLA (phase C), NOT in the raster
+    kernel: Mosaic has no efficient per-pixel gather, while each rendered
+    image samples exactly ONE object's texture so the lookup is a plain
+    per-image table gather. Replaces the reference's Panda3D texture
+    mapping (panda3d_scene_renderer.py:298-358)."""
+    B, TS = textures.shape[0], textures.shape[1]
+    H, W = uv.shape[1], uv.shape[2]
+    x = jnp.clip(uv[..., 0] * TS - 0.5, 0.0, TS - 1.0)
+    y = jnp.clip(uv[..., 1] * TS - 0.5, 0.0, TS - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, TS - 1)
+    y1 = jnp.minimum(y0 + 1, TS - 1)
+    fx = (x - x0.astype(x.dtype))[..., None]
+    fy = (y - y0.astype(y.dtype))[..., None]
+
+    flat = textures.reshape(B, TS * TS, 3).astype(jnp.float32) / 255.0
+
+    def g(tex_flat, yy, xx):
+        return jnp.take(tex_flat, yy * TS + xx, axis=0)
+
+    gather = jax.vmap(
+        lambda tf, yy, xx: g(tf, yy.reshape(-1), xx.reshape(-1)).reshape(
+            H, W, 3
+        )
+    )
+    c00 = gather(flat, y0, x0)
+    c01 = gather(flat, y0, x1)
+    c10 = gather(flat, y1, x0)
+    c11 = gather(flat, y1, x1)
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def apply_uv_as_colors(
+    colors: Array,  # [B, V, 3]
+    uvs: Array | None,  # [B, V, 2]
+    has_tex: Array | None,  # [B]
+) -> Array:
+    """For textured meshes, carry (u, v, 0) in the color attribute slots —
+    each rendered image is one object, so the slot interpretation can
+    switch per image with zero extra rasterization cost."""
+    if uvs is None or has_tex is None:
+        return colors
+    uv3 = jnp.concatenate([uvs, jnp.zeros_like(uvs[..., :1])], axis=-1)
+    return jnp.where(has_tex[:, None, None], uv3, colors)
+
+
 def _shade_single(
     screen: Array,  # [V, 3]
     v_normals_obj: Array,  # [V, 3]
@@ -170,6 +225,7 @@ def _shade_single(
     resolution: tuple[int, int],
     light_ambient: float,
     light_point: float,
+    raw_albedo: bool = False,
 ) -> tuple[Array, Array, Array, Array]:
     H, W = resolution
     HW = H * W
@@ -214,16 +270,28 @@ def _shade_single(
 
     # Object-frame axis lights: intensity = ambient + point * ||n||_1.
     intensity = light_ambient + light_point * jnp.sum(jnp.abs(n_obj), -1)
-    rgb = jnp.clip(albedo * intensity[:, None], 0.0, 1.0)
-    rgb = jnp.where(hit[:, None], rgb, 0.0)
 
     n_eye = jnp.einsum(
         "ij,nj->ni", R_co, n_obj, precision=jax.lax.Precision.HIGHEST
     )
     normals_img = jnp.where(hit[:, None], (n_eye + 1.0) * 0.5, 0.0)
 
+    if raw_albedo:
+        # Texture path: defer lighting to the caller (rgb slot carries
+        # (albedo payload, intensity) so the texture lookup can replace
+        # the albedo first).
+        payload = jnp.where(hit[:, None], albedo, 0.0)
+        rgb_out = (
+            payload.reshape(H, W, 3),
+            intensity.reshape(H, W),
+        )
+    else:
+        rgb = jnp.clip(albedo * intensity[:, None], 0.0, 1.0)
+        rgb = jnp.where(hit[:, None], rgb, 0.0)
+        rgb_out = rgb.reshape(H, W, 3)
+
     return (
-        rgb.reshape(H, W, 3),
+        rgb_out,
         normals_img.reshape(H, W, 3),
         depth.reshape(H, W),
         hit.reshape(H, W),
@@ -243,8 +311,15 @@ def render_meshes(
     chunk: int = 64,
     light_ambient: float | Array = 0.1,
     light_point: float | Array = 0.4,
+    uvs: Array | None = None,
+    textures: Array | None = None,
+    has_tex: Array | None = None,
 ) -> RenderOutput:
     """Render a batch of (mesh, pose) hypotheses. All args static-shaped.
+
+    Pass `uvs [B, V, 2]` + `textures [B, TS, TS, 3] u8` + `has_tex [B]`
+    for per-pixel texture sampling (phase-C bilinear lookup); textured
+    images then ignore `colors`.
 
     `light_ambient`/`light_point` may be scalars or per-batch `[B]` arrays
     (per-sample randomized ambient light is a training augmentation,
@@ -260,6 +335,8 @@ def render_meshes(
     face_valid = face_valid & finite[..., None]
     amb = jnp.broadcast_to(jnp.asarray(light_ambient, screen.dtype), (B,))
     pnt = jnp.broadcast_to(jnp.asarray(light_point, screen.dtype), (B,))
+    textured = textures is not None and uvs is not None and has_tex is not None
+    colors_eff = apply_uv_as_colors(colors, uvs, has_tex) if textured else colors
 
     def one(screen_b, faces_b, fvalid_b, n_b, c_b, R_b, amb_b, pnt_b):
         face_id, _ = _visibility_single(
@@ -267,12 +344,28 @@ def render_meshes(
         )
         return _shade_single(
             screen_b, n_b, c_b, faces_b, R_b, face_id, resolution,
-            amb_b, pnt_b,
+            amb_b, pnt_b, raw_albedo=textured,
         )
 
     rgb, nrm, depth, mask = jax.vmap(one)(
-        screen, faces, face_valid, normals, colors, TCO[..., :3, :3], amb, pnt
+        screen, faces, face_valid, normals, colors_eff, TCO[..., :3, :3],
+        amb, pnt,
     )
+    if textured:
+        # rgb currently holds (albedo-or-uv, intensity-deferred) payload:
+        # channels 0:2 = interpolated uv for textured images, 0:3 =
+        # albedo for untextured; channel 3 would be intensity, which
+        # _shade_single folds by returning intensity in `nrm` alpha — see
+        # raw_albedo contract below.
+        payload, intensity = rgb
+        tex_rgb = sample_textures_bilinear(
+            textures, jnp.clip(payload[..., 0:2], 0.0, 1.0)
+        )
+        albedo = jnp.where(
+            has_tex[:, None, None, None], tex_rgb, payload
+        )
+        rgb = jnp.clip(albedo * intensity[..., None], 0.0, 1.0)
+        rgb = jnp.where(mask[..., None], rgb, 0.0)
     return RenderOutput(rgb=rgb, normals=nrm, depth=depth, mask=mask)
 
 

@@ -37,11 +37,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rasterizer import RenderOutput, project_to_screen
+from .rasterizer import (
+    RenderOutput,
+    apply_uv_as_colors,
+    project_to_screen,
+    sample_textures_bilinear,
+)
 
 Array = jax.Array
 
-TILE_H = 32
+TILE_H = 32  # default; render_meshes_tiled(tile_h=...) overrides
 TILE_W = 128
 N_ATTR = 6  # r, g, b, nx, ny, nz
 COEF_W = 32  # 9 edge + 3 invz + 18 attr + 2 pad
@@ -113,7 +118,9 @@ def _face_coefs(
     for k in range(3):
         cols += list(plane(n_f[..., k] * iz))  # n_obj / z
     cols += [jnp.zeros_like(area), jnp.zeros_like(area)]
-    packed = jnp.stack(cols, axis=-1)  # [F, 32]
+    # Stack coef-major [32, F] then transpose: the [F, 32] direct stack
+    # makes XLA materialize [*, F, 1] temps padded 128x in the lane dim.
+    packed = jnp.stack(cols, axis=0).T  # [F, 32]
 
     bbox = jnp.stack(
         [jnp.min(u, 1), jnp.min(v, 1), jnp.max(u, 1), jnp.max(v, 1)], -1
@@ -131,6 +138,7 @@ def _prepare_single(
     chunk: int,
     z_near: float,
     backface_cull: bool = False,
+    tile_h: int = TILE_H,
 ):
     """Phase A for one image -> (coefs [F, 32], active chunk ids
     [T, n_chunks], n_active [T]).
@@ -142,7 +150,7 @@ def _prepare_single(
     overlap mask block-sparse.
     """
     H, W = resolution
-    n_th = (H + TILE_H - 1) // TILE_H
+    n_th = (H + tile_h - 1) // tile_h
     n_tw = (W + TILE_W - 1) // TILE_W
     F = faces.shape[0]
     assert F % chunk == 0, (F, chunk)
@@ -155,12 +163,12 @@ def _prepare_single(
     neutral = jnp.zeros((COEF_W,), packed.dtype).at[2].set(-1e30)
     packed = jnp.where(valid[:, None], packed, neutral)
 
-    ty0 = jnp.repeat(jnp.arange(n_th) * TILE_H, n_tw)  # [T]
+    ty0 = jnp.repeat(jnp.arange(n_th) * tile_h, n_tw)  # [T]
     tx0 = jnp.tile(jnp.arange(n_tw) * TILE_W, n_th)
     overlap = (
         (bbox[None, :, 0] < (tx0 + TILE_W)[:, None])
         & (bbox[None, :, 2] >= tx0[:, None])
-        & (bbox[None, :, 1] < (ty0 + TILE_H)[:, None])
+        & (bbox[None, :, 1] < (ty0 + tile_h)[:, None])
         & (bbox[None, :, 3] >= ty0[:, None])
         & valid[None, :]
     )  # [T, F]
@@ -179,32 +187,33 @@ def _prepare_single(
 
 
 def _visibility_kernel(
-    meta_ref,  # SMEM [1, 1, 1, 1 + n_chunks] i32: [n_active, ids...]
-    coef_ref,  # VMEM [1, F, 32] (shared across tiles)
-    invz_ref,  # out [1, 1, TILE_H, TILE_W] f32
-    fid_out_ref,  # out [1, 1, TILE_H, TILE_W] i32
-    attr_ref,  # out [1, 1, N_ATTR * TILE_H, TILE_W] f32 (attr-major)
+    meta_ref,  # SMEM [1 + n_chunks] i32: [n_active, ids...]
+    coef_ref,  # VMEM [F, 32] (shared across tiles)
+    invz_ref,  # out [tile_h, TILE_W] f32
+    fid_out_ref,  # out [tile_h, TILE_W] i32
+    attr_ref,  # out [N_ATTR * tile_h, TILE_W] f32 (attr-major)
     *,
     chunk: int,
     n_tiles_w: int,
+    tile_h: int,
 ):
     t = pl.program_id(1)
-    row0 = ((t // n_tiles_w) * TILE_H).astype(jnp.float32)
+    row0 = ((t // n_tiles_w) * tile_h).astype(jnp.float32)
     col0 = ((t % n_tiles_w) * TILE_W).astype(jnp.float32)
-    px_v = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+    px_v = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0).astype(
         jnp.float32
     )
-    px_u = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+    px_u = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1).astype(
         jnp.float32
     )
 
-    invz_ref[0, 0] = jnp.full((TILE_H, TILE_W), -jnp.inf, jnp.float32)
-    fid_out_ref[0, 0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-    attr_ref[0, 0] = jnp.zeros((N_ATTR * TILE_H, TILE_W), jnp.float32)
+    invz_ref[...] = jnp.full((tile_h, TILE_W), -jnp.inf, jnp.float32)
+    fid_out_ref[...] = jnp.full((tile_h, TILE_W), -1, jnp.int32)
+    attr_ref[...] = jnp.zeros((N_ATTR * tile_h, TILE_W), jnp.float32)
 
     def body(i, _):
-        ci = meta_ref[0, 0, 0, 1 + i]
-        cf = coef_ref[0, pl.ds(ci * chunk, chunk), :]  # [CH, 32]
+        ci = meta_ref[1 + i]
+        cf = coef_ref[pl.ds(ci * chunk, chunk), :]  # [CH, 32]
         gid = ci * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (chunk, 1, 1), 0
         )
@@ -223,23 +232,28 @@ def _visibility_kernel(
         cand = jnp.where(inside, iz, -jnp.inf)
 
         c_best = jnp.max(cand, axis=0)  # [H, W]
-        # Winner id via masked max (ids unique; no gathers in Mosaic).
-        c_fid = jnp.max(jnp.where(cand >= c_best[None], gid, -1), axis=0)
-        better = c_best > invz_ref[0, 0]
-        match = (gid == c_fid[None]) & inside  # [CH, H, W]
+        better = c_best > invz_ref[...]
 
-        invz_ref[0, 0] = jnp.where(better, c_best, invz_ref[0, 0])
-        fid_out_ref[0, 0] = jnp.where(better, c_fid, fid_out_ref[0, 0])
-        for k in range(N_ATTR):
-            val = ev(4 + k)
-            sel = jnp.max(jnp.where(match, val, -jnp.inf), axis=0)
-            row = slice(k * TILE_H, (k + 1) * TILE_H)
-            attr_ref[0, 0, row, :] = jnp.where(
-                better, sel, attr_ref[0, 0, row, :]
-            )
+        # Deferred shading without gathers: the 6 attribute planes (60% of
+        # the per-chunk VPU work) run only when this chunk actually wins a
+        # pixel — chunks fully occluded by the current z-buffer (or whose
+        # bbox overlaps the tile but whose triangles miss it) skip them.
+        @pl.when(jnp.any(better))
+        def _shade():
+            # Winner id via masked max (ids unique; no gathers in Mosaic).
+            c_fid = jnp.max(jnp.where(cand >= c_best[None], gid, -1), axis=0)
+            match = (gid == c_fid[None]) & inside  # [CH, H, W]
+            fid_out_ref[...] = jnp.where(better, c_fid, fid_out_ref[...])
+            for k in range(N_ATTR):
+                val = ev(4 + k)
+                sel = jnp.max(jnp.where(match, val, -jnp.inf), axis=0)
+                row = slice(k * tile_h, (k + 1) * tile_h)
+                attr_ref[row, :] = jnp.where(better, sel, attr_ref[row, :])
+
+        invz_ref[...] = jnp.where(better, c_best, invz_ref[...])
         return 0
 
-    jax.lax.fori_loop(0, meta_ref[0, 0, 0, 0], body, 0)
+    jax.lax.fori_loop(0, meta_ref[0], body, 0)
 
 
 def _run_visibility(
@@ -249,18 +263,19 @@ def _run_visibility(
     n_tiles_w: int,
     chunk: int = 16,
     interpret: bool = False,
+    tile_h: int = TILE_H,
 ):
     B, F, _ = coefs.shape
     T = chunk_ids.shape[1]
     n_chunks = chunk_ids.shape[2]
 
     kernel = functools.partial(
-        _visibility_kernel, chunk=chunk, n_tiles_w=n_tiles_w
+        _visibility_kernel, chunk=chunk, n_tiles_w=n_tiles_w, tile_h=tile_h
     )
     out_shape = (
-        jax.ShapeDtypeStruct((B, T, TILE_H, TILE_W), jnp.float32),
-        jax.ShapeDtypeStruct((B, T, TILE_H, TILE_W), jnp.int32),
-        jax.ShapeDtypeStruct((B, T, N_ATTR * TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((B, T, tile_h, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((B, T, tile_h, TILE_W), jnp.int32),
+        jax.ShapeDtypeStruct((B, T, N_ATTR * tile_h, TILE_W), jnp.float32),
     )
     meta = jnp.concatenate(
         [n_active[..., None], chunk_ids], axis=-1
@@ -269,27 +284,26 @@ def _run_visibility(
         kernel,
         grid=(B, T),
         in_specs=[
-            # 4D so the (last-two-dims) block rule sees (1, META) == array.
             pl.BlockSpec(
-                (1, 1, 1, 1 + n_chunks), lambda b, t: (b, t, 0, 0),
+                (None, None, None, 1 + n_chunks), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, F, COEF_W), lambda b, t: (b, 0, 0),
+                (None, F, COEF_W), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 1, TILE_H, TILE_W), lambda b, t: (b, t, 0, 0),
+                (None, None, tile_h, TILE_W), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, TILE_H, TILE_W), lambda b, t: (b, t, 0, 0),
+                (None, None, tile_h, TILE_W), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, N_ATTR * TILE_H, TILE_W), lambda b, t: (b, t, 0, 0),
+                (None, None, N_ATTR * tile_h, TILE_W), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -299,12 +313,14 @@ def _run_visibility(
     return invz, best_fid, attrs
 
 
-def _tiles_to_image(tiles: Array, n_th: int, n_tw: int, H: int, W: int) -> Array:
-    """[B, T, TILE_H, TILE_W] -> [B, H, W]."""
+def _tiles_to_image(
+    tiles: Array, n_th: int, n_tw: int, H: int, W: int, tile_h: int = TILE_H
+) -> Array:
+    """[B, T, tile_h, TILE_W] -> [B, H, W]."""
     B = tiles.shape[0]
-    img = tiles.reshape(B, n_th, n_tw, TILE_H, TILE_W)
+    img = tiles.reshape(B, n_th, n_tw, tile_h, TILE_W)
     img = jnp.moveaxis(img, 2, 3).reshape(
-        B, n_th * TILE_H, n_tw * TILE_W
+        B, n_th * tile_h, n_tw * TILE_W
     )
     return img[:, :H, :W]
 
@@ -324,21 +340,34 @@ def render_meshes_tiled(
     light_point: float | Array = 0.4,
     backface_cull: bool = False,
     interpret: bool = False,
+    tile_h: int = TILE_H,
+    uvs: Array | None = None,
+    textures: Array | None = None,
+    has_tex: Array | None = None,
 ) -> RenderOutput:
     """Drop-in replacement for `rasterizer.render_meshes` (same outputs).
 
     `backface_cull=True` requires outward-CCW winding (guaranteed for
     meshes from `MeshDataBase`) and closed surfaces; it halves face work.
+
+    Per-pixel texturing: pass `uvs [B, V, 2]` + `textures [B, TS, TS, 3]
+    u8` + `has_tex [B]`. Textured images carry (u, v) in the color
+    attribute slots through the kernel (zero extra kernel cost — each
+    image renders ONE object) and phase C swaps in a bilinear texture
+    lookup for the albedo.
     """
     H, W = resolution
     B, F = faces.shape[:2]
-    n_th = (H + TILE_H - 1) // TILE_H
+    n_th = (H + tile_h - 1) // tile_h
     n_tw = (W + TILE_W - 1) // TILE_W
 
     finite = jnp.isfinite(TCO).all(axis=(-1, -2))
     TCO = jnp.where(finite[..., None, None], TCO, jnp.eye(4, dtype=TCO.dtype))
     screen = project_to_screen(vertices, TCO, K)
     face_valid = face_valid & finite[..., None]
+    textured = textures is not None and uvs is not None and has_tex is not None
+    if textured:
+        colors = apply_uv_as_colors(colors, uvs, has_tex)
 
     if F % chunk:
         pad = chunk - F % chunk
@@ -349,20 +378,21 @@ def render_meshes_tiled(
     coefs, chunk_ids, n_active = jax.vmap(
         lambda s_, n, c, f, fv: _prepare_single(
             s_, n, c, f, fv, resolution, chunk, z_near,
-            backface_cull=backface_cull,
+            backface_cull=backface_cull, tile_h=tile_h,
         )
     )(screen, normals, colors, faces, face_valid)
 
     invz_t, fid_t, attr_t = _run_visibility(
-        coefs, chunk_ids, n_active, n_tw, chunk=chunk, interpret=interpret
+        coefs, chunk_ids, n_active, n_tw, chunk=chunk, interpret=interpret,
+        tile_h=tile_h,
     )
 
-    invz = _tiles_to_image(invz_t, n_th, n_tw, H, W)
-    fid = _tiles_to_image(fid_t, n_th, n_tw, H, W)
-    attr_t = attr_t.reshape(B, -1, N_ATTR, TILE_H, TILE_W)
+    invz = _tiles_to_image(invz_t, n_th, n_tw, H, W, tile_h)
+    fid = _tiles_to_image(fid_t, n_th, n_tw, H, W, tile_h)
+    attr_t = attr_t.reshape(B, -1, N_ATTR, tile_h, TILE_W)
     attrs = jnp.stack(
         [
-            _tiles_to_image(attr_t[:, :, k], n_th, n_tw, H, W)
+            _tiles_to_image(attr_t[:, :, k], n_th, n_tw, H, W, tile_h)
             for k in range(N_ATTR)
         ],
         axis=-1,
@@ -373,6 +403,11 @@ def render_meshes_tiled(
     depth = jnp.where(hit, 1.0 / invz_safe, 0.0)
     attrs = attrs / invz_safe[..., None]  # perspective divide
     albedo = jnp.clip(attrs[..., 0:3], 0.0, 1.0)
+    if textured:
+        tex_rgb = sample_textures_bilinear(
+            textures, jnp.clip(attrs[..., 0:2], 0.0, 1.0)
+        )
+        albedo = jnp.where(has_tex[:, None, None, None], tex_rgb, albedo)
     n_obj = attrs[..., 3:6]
     n_obj = n_obj / jnp.maximum(
         jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-9
