@@ -297,16 +297,33 @@ class MeshDataBase:
     def from_object_ds(cls, ds: RigidObjectDataset, **kw) -> "MeshDataBase":
         return cls(ds, **kw)
 
-    def batched(self, align: int = 128) -> BatchedMeshes:
+    def batched(
+        self,
+        align: int = 128,
+        n_vertices_pad: int | None = None,
+        n_faces_pad: int | None = None,
+    ) -> BatchedMeshes:
+        """Pack to padded device arrays. `n_vertices_pad`/`n_faces_pad`
+        force the pad targets — required when independently-built DBs
+        (e.g. per-host label shards of a ShardedMeshDB) must agree on
+        array shapes."""
         labels = self.objects.labels
         L = len(labels)
-        V = _round_up(max(m.n_vertices for m in self.meshes.values()), align)
-        F = _round_up(
+        V = n_vertices_pad or _round_up(
+            max(m.n_vertices for m in self.meshes.values()), align
+        )
+        F = n_faces_pad or _round_up(
             min(
                 self.max_faces,
                 max(m.n_faces for m in self.meshes.values()),
             ),
             align,
+        )
+        assert all(m.n_vertices <= V for m in self.meshes.values()), (
+            "n_vertices_pad too small"
+        )
+        assert all(m.n_faces <= F for m in self.meshes.values()), (
+            "n_faces_pad too small"
         )
         P = self.n_points
         S = self.n_sym

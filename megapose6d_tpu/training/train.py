@@ -115,6 +115,62 @@ def make_train_step(
     return jax.jit(step, static_argnums=(3,), donate_argnums=(0,))
 
 
+def make_sharded_train_step(
+    model: PosePredictor,
+    cfg: TrainingConfig,
+    sharded_db,
+    device_mesh,
+    axis: str = "dp",
+) -> Callable:
+    """Train step for a label-sharded mesh DB (`meshes.sharded_db`):
+    each device renders/selects only from ITS OWN label shard (mesh_idx in
+    the batch is LOCAL to the device's shard) and gradients are psum'd
+    over the dp axis — the TPU analog of the reference's per-rank object
+    split + DDP all-reduce (train_megapose.py:94-112, :246-248).
+
+    Batch arrays must have leading dim n_shards * batch_per_shard, laid
+    out shard-major, and be placed with `NamedSharding(mesh, P(axis))`.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    db = sharded_db.batched
+
+    def step(state: TrainState, batch: BatchPoseData, key: Array,
+             n_iterations: int):
+        def shard_fn(params, db_local, batch_local, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
+            def loss_fn(p):
+                return forward_loss(
+                    p, model, cfg, batch_local, db_local, key, n_iterations
+                )
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis), metrics)
+            return grads, metrics
+
+        db_leaves_spec = jax.tree.map(lambda _: P(axis), db)
+        batch_spec = jax.tree.map(lambda _: P(axis), batch)
+        grads, metrics = shard_map(
+            shard_fn,
+            mesh=device_mesh,
+            in_specs=(P(), db_leaves_spec, batch_spec, P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )(state.params, db, batch, key)
+        gnorm = optax.global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = gnorm
+        return state, metrics
+
+    return jax.jit(step, static_argnums=(3,), donate_argnums=(0,))
+
+
 # ---------------------------------------------------------------------------
 # Synthetic on-device data source (debug/overfit; the reference's analog is
 # the debug/overfit config shrink, run_megapose_training.py:275-295 — we can
