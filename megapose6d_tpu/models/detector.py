@@ -36,6 +36,12 @@ class DetectorConfig:
     stride: int = 4  # output stride of the heatmap
     max_detections: int = 32
     compute_dtype: str = "float32"
+    # Instance masks (reference capability: DetectorMaskRCNN,
+    # models/mask_rcnn.py:24-45, masks consumed by the RGBD depth-refiner
+    # path). CenterNet-style: a per-class segmentation head at heatmap
+    # stride; per-instance masks = the class channel cropped to the
+    # detection box.
+    predict_masks: bool = False
 
 
 class CenterNetDetector(nn.Module):
@@ -66,11 +72,15 @@ class CenterNetDetector(nn.Module):
         heat = nn.Conv(c.n_classes, (3, 3), padding=1, dtype=dtype)(x)
         wh = nn.Conv(2, (3, 3), padding=1, dtype=dtype)(x)
         off = nn.Conv(2, (3, 3), padding=1, dtype=dtype)(x)
-        return {
+        out = {
             "heatmap": heat.astype(jnp.float32),
             "wh": jax.nn.softplus(wh.astype(jnp.float32)),
             "offset": off.astype(jnp.float32),
         }
+        if c.predict_masks:
+            seg = nn.Conv(c.n_classes, (3, 3), padding=1, dtype=dtype)(x)
+            out["seg"] = seg.astype(jnp.float32)
+        return out
 
 
 def decode_detections(
@@ -179,11 +189,31 @@ def detection_loss(
     off_loss = (jnp.abs(off_pred - off_gt) * vw).sum() / n_valid
 
     loss = heat_loss + 0.1 * wh_loss + off_loss
-    return loss, {
+    metrics = {
         "det_heat_loss": heat_loss,
         "det_wh_loss": wh_loss,
         "det_off_loss": off_loss,
     }
+    return loss, metrics
+
+
+def segmentation_loss(
+    outputs: dict[str, Array],
+    gt_seg: Array,  # [B, H, W] i32 class ids, -1 = background
+    stride: int,
+) -> Array:
+    """Per-class BCE on the seg head (MaskRCNN mask-head analog; target
+    masks come from the scene's segmentation like the reference's
+    synthetic training data)."""
+    seg = outputs["seg"]  # [B, h, w, C]
+    B, h, w, C = seg.shape
+    # Nearest-neighbor downsample of the label map to head stride.
+    tgt = gt_seg[:, ::stride, ::stride][:, :h, :w]
+    onehot = jax.nn.one_hot(tgt, C)  # bg (-1) -> all-zeros row
+    p = jax.nn.sigmoid(seg)
+    bce = -(onehot * jnp.log(jnp.maximum(p, 1e-6))
+            + (1 - onehot) * jnp.log(jnp.maximum(1 - p, 1e-6)))
+    return bce.mean()
 
 
 class Detector:
@@ -203,13 +233,20 @@ class Detector:
         self.labels = list(labels)
         self.detection_th = detection_th
         self.one_instance_per_class = one_instance_per_class
-        self._infer = jax.jit(
-            lambda p, im: decode_detections(
-                model.apply(p, im),
-                model.cfg.stride,
-                model.cfg.max_detections,
+        def infer(p, im):
+            raw = model.apply(p, im)
+            out = decode_detections(
+                raw, model.cfg.stride, model.cfg.max_detections
             )
-        )
+            if model.cfg.predict_masks:
+                seg = jax.nn.sigmoid(raw["seg"])  # [B, h, w, C]
+                H, W = im.shape[1:3]
+                out["seg"] = jax.image.resize(
+                    seg, (seg.shape[0], H, W, seg.shape[3]), "bilinear"
+                )
+            return out
+
+        self._infer = jax.jit(infer)
 
     def get_detections(
         self,
@@ -229,6 +266,7 @@ class Detector:
         boxes = np.asarray(out["boxes"][0])
         scores = np.asarray(out["scores"][0])
         classes = np.asarray(out["classes"][0])
+        seg = np.asarray(out["seg"][0]) if "seg" in out else None
 
         keep = scores >= th
         boxes, scores, classes = boxes[keep], scores[keep], classes[keep]
@@ -253,6 +291,18 @@ class Detector:
                 "instance_id": np.arange(len(scores), dtype=np.int64),
             }
         )
-        return PandasTensorCollection(
-            infos, bboxes=boxes.astype(np.float32).reshape(-1, 4)
-        )
+        tensors = {"bboxes": boxes.astype(np.float32).reshape(-1, 4)}
+        if seg is not None:
+            # Per-instance mask = class channel restricted to the box
+            # (MaskRCNN instance-mask contract, consumed by the RGBD
+            # depth-refiner path via compute_masks).
+            H, W = seg.shape[:2]
+            yy = np.arange(H)[:, None]
+            xx = np.arange(W)[None, :]
+            masks = np.zeros((len(scores), H, W), bool)
+            for i in range(len(scores)):
+                x0, y0, x1, y1 = boxes[i]
+                inside = (xx >= x0) & (xx <= x1) & (yy >= y0) & (yy <= y1)
+                masks[i] = (seg[..., int(classes[i])] > 0.5) & inside
+            tensors["masks"] = masks
+        return PandasTensorCollection(infos, **tensors)

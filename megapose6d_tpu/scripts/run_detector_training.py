@@ -26,6 +26,7 @@ from ..models.detector import (
     CenterNetDetector,
     DetectorConfig,
     detection_loss,
+    segmentation_loss,
 )
 from ..scripts.generate_synthetic_dataset import make_scene_renderer
 from ..utils.logging import get_logger
@@ -33,15 +34,24 @@ from ..utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def make_batch_fn(mesh_db, batch_size, resolution, n_obj, f=400.0):
+def make_batch_fn(
+    mesh_db, batch_size, resolution, n_obj, f=400.0, with_seg=False
+):
     render = make_scene_renderer(mesh_db, n_obj, resolution, f)
 
     def fn(key):
         keys = jax.random.split(key, batch_size)
-        rgbs, boxes, classes, valids = [], [], [], []
+        rgbs, boxes, classes, valids, segs = [], [], [], [], []
         for k in keys:  # traced loop unrolls; batch_size is small
             rgb, depth, seg, TCO, mesh_idx, _ = render(k)
             rgbs.append(rgb)
+            if with_seg:
+                # Scene seg ids (1..n_obj) -> class ids (-1 = background),
+                # the mask-head target (MaskRCNN training-data analog).
+                cls_map = jnp.where(
+                    seg > 0, mesh_idx[jnp.maximum(seg - 1, 0)], -1
+                )
+                segs.append(cls_map.astype(jnp.int32))
             # Boxes from per-object projected masks: use seg extents.
             obj_boxes, obj_valid = [], []
             for n in range(n_obj):
@@ -66,12 +76,15 @@ def make_batch_fn(mesh_db, batch_size, resolution, n_obj, f=400.0):
             boxes.append(jnp.stack(obj_boxes))
             classes.append(mesh_idx)
             valids.append(jnp.stack(obj_valid))
-        return (
+        out = (
             jnp.stack(rgbs),
             jnp.stack(boxes),
             jnp.stack(classes),
             jnp.stack(valids),
         )
+        if with_seg:
+            out = out + (jnp.stack(segs),)
+        return out
 
     return jax.jit(fn)
 
@@ -80,7 +93,7 @@ def main(argv=None):
     args = dict(
         run_id="detector", run_dir="runs", n_steps="1000", batch_size="8",
         resolution="240,320", n_obj_per_scene="2", lr="1e-3", width="32",
-        object_dataset="", log_every="50", seed="0",
+        object_dataset="", log_every="50", seed="0", predict_masks="0",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -106,7 +119,11 @@ def main(argv=None):
     n_obj = int(args["n_obj_per_scene"])
     batch_size = int(args["batch_size"])
 
-    cfg = DetectorConfig(n_classes=mesh_db.n_labels, width=int(args["width"]))
+    predict_masks = bool(int(args["predict_masks"]))
+    cfg = DetectorConfig(
+        n_classes=mesh_db.n_labels, width=int(args["width"]),
+        predict_masks=predict_masks,
+    )
     model = CenterNetDetector(cfg)
     params = model.init(
         jax.random.PRNGKey(0),
@@ -114,13 +131,22 @@ def main(argv=None):
     )
     tx = optax.adam(float(args["lr"]))
     opt_state = tx.init(params)
-    batch_fn = make_batch_fn(mesh_db, batch_size, resolution, n_obj)
+    batch_fn = make_batch_fn(
+        mesh_db, batch_size, resolution, n_obj, with_seg=predict_masks
+    )
 
     @jax.jit
-    def step(params, opt_state, rgbs, boxes, classes, valids):
+    def step(params, opt_state, rgbs, boxes, classes, valids, seg=None):
         def loss_fn(p):
             out = model.apply(p, rgbs)
-            return detection_loss(out, boxes, classes, valids, cfg.stride)
+            loss, aux = detection_loss(
+                out, boxes, classes, valids, cfg.stride
+            )
+            if seg is not None:
+                seg_l = segmentation_loss(out, seg, cfg.stride)
+                loss = loss + seg_l
+                aux = dict(aux, det_seg_loss=seg_l)
+            return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state)
@@ -134,9 +160,11 @@ def main(argv=None):
     t0 = time.monotonic()
     for i in range(int(args["n_steps"])):
         key, sub = jax.random.split(key)
-        rgbs, boxes, classes, valids = batch_fn(sub)
+        batch = batch_fn(sub)
+        rgbs, boxes, classes, valids = batch[:4]
+        seg = batch[4] if predict_masks else None
         params, opt_state, loss, aux = step(
-            params, opt_state, rgbs, boxes, classes, valids
+            params, opt_state, rgbs, boxes, classes, valids, seg
         )
         if (i + 1) % int(args["log_every"]) == 0:
             log = {
