@@ -18,7 +18,7 @@ import numpy as np
 
 from ..data.tensor_collection import PandasTensorCollection
 from ..meshes.mesh_db import BatchedMeshes
-from ..ops import icp, rasterizer_tiled
+from ..ops import icp, rasterizer_tiled, registration
 
 
 def compute_masks(
@@ -141,6 +141,111 @@ class ICPRefiner(DepthRefiner):
         )
         extra = {
             "residual": np.asarray(residual),
+            "valid": np.asarray(valid),
+        }
+        return out, extra
+
+
+class GNCRegistrationRefiner(DepthRefiner):
+    """Global-registration depth refiner — the reference's TeaserppRefiner
+    analog (inference/teaserpp_refiner.py:53-289).
+
+    Like the reference, builds PIXEL-WISE PAIRED clouds (rendered depth
+    of the predicted pose vs measured depth over the same mask) and runs
+    robust registration on them; TEASER++'s C++ solver is replaced by the
+    jitted GNC-TLS estimator (`ops/registration.py`), and pytorch3d's
+    CUDA farthest-point sampling by random masked sampling (the reference
+    exposes the same fallback, use_farthest_point_sampling=False).
+    """
+
+    def __init__(
+        self,
+        mesh_db: BatchedMeshes,
+        n_points: int = 512,
+        n_iterations: int = 20,
+        noise_bound: float = 0.01,
+        resolution_downscale: int = 2,
+    ):
+        self.mesh_db = mesh_db
+        self.n_points = n_points
+        self.n_iterations = n_iterations
+        self.noise_bound = noise_bound
+        self.downscale = resolution_downscale
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _refine_batch(self, key, TCO, mesh_idx, depth, resolution, K):
+        meshes = self.mesh_db.select(mesh_idx)
+        N = TCO.shape[0]
+        K_b = jnp.broadcast_to(K, (N, 3, 3))
+        rendered = rasterizer_tiled.render_meshes_tiled(
+            meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
+            meshes.face_valid, TCO, K_b, resolution,
+            interpret=jax.default_backend() == "cpu",
+        )
+        xyz_tgt = icp.depth_to_xyz(depth, K)  # measured
+
+        def one(k, TCO_n, depth_r):
+            xyz_src = icp.depth_to_xyz(depth_r, K)
+            mask = (depth_r > 0) & (depth > 0)
+            idx, valid = icp._masked_sample_idx(k, mask, self.n_points)
+            flat_src = xyz_src.reshape(-1, 3)
+            flat_tgt = xyz_tgt.reshape(-1, 3)
+            src = flat_src[idx]
+            tgt = flat_tgt[idx]
+            res = registration.gnc_tls_registration(
+                src, tgt, valid,
+                noise_bound=self.noise_bound,
+                n_iterations=self.n_iterations,
+            )
+            TCO_refined = res.T_tgt_src @ TCO_n
+            return (
+                jnp.where(res.valid, TCO_refined, TCO_n),
+                res.n_inliers,
+                res.valid,
+            )
+
+        keys = jax.random.split(key, N)
+        return jax.vmap(one)(keys, TCO, rendered.depth)
+
+    def refine_poses(
+        self,
+        predictions: PandasTensorCollection,
+        masks=None,
+        depth=None,
+        K=None,
+    ) -> tuple[PandasTensorCollection, dict]:
+        assert depth is not None and K is not None
+        depth = np.asarray(depth)
+        if depth.ndim == 3:
+            depth = depth[0]
+        K = np.asarray(K, np.float32)
+        if K.ndim == 3:
+            K = K[0]
+        labels = list(predictions.infos["label"])
+        mesh_idx = self.mesh_db.label_to_index(labels)
+
+        ds = self.downscale
+        if ds > 1:
+            depth_r = depth[::ds, ::ds]
+            K_r = K.copy()
+            K_r[:2] /= ds
+        else:
+            depth_r, K_r = depth, K
+        resolution = depth_r.shape
+
+        TCO_refined, n_inliers, valid = self._refine_batch(
+            jax.random.PRNGKey(0),
+            jnp.asarray(predictions.poses, jnp.float32),
+            mesh_idx,
+            jnp.asarray(depth_r, jnp.float32),
+            tuple(resolution),
+            jnp.asarray(K_r),
+        )
+        out = PandasTensorCollection(
+            predictions.infos.copy(), poses=np.asarray(TCO_refined)
+        )
+        extra = {
+            "n_inliers": np.asarray(n_inliers),
             "valid": np.asarray(valid),
         }
         return out, extra

@@ -140,7 +140,14 @@ def load_named_model(
     )
 
     depth_refiner = None
-    if info.get("depth_refiner") == "ICP" or cfg.run_depth_refiner:
+    kind = info.get("depth_refiner")
+    if kind == "teaserpp" or cfg.depth_refiner == "teaserpp":
+        # The reference's TEASER++ option (no NAMED_MODEL ships it, but
+        # the config surface accepts it; teaserpp_refiner.py:53-289).
+        from .depth_refiner import GNCRegistrationRefiner
+
+        depth_refiner = GNCRegistrationRefiner(mesh_db)
+    elif kind == "ICP" or cfg.run_depth_refiner:
         from .depth_refiner import ICPRefiner
 
         depth_refiner = ICPRefiner(mesh_db)
