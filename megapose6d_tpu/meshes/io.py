@@ -444,9 +444,35 @@ def _cluster_once(mesh: TriMesh, cell: float) -> TriMesh:
 # panda3d_renderer/geometry.py debug primitives)
 # ---------------------------------------------------------------------------
 
-def make_cube(half_extent: float = 0.05, color=(0.8, 0.2, 0.2)) -> TriMesh:
+def make_random_texture(
+    size: int = 128, cells: int = 16, seed: int = 0
+) -> np.ndarray:
+    """High-frequency random block texture `[size, size, 3] uint8`.
+
+    Rotation-and-compare needs visually rich surfaces: smooth vertex-color
+    gradients change only ~0.001 rgb/pixel/degree, which drowns in the
+    renderer/crop resampling noise floor; block textures give sharp,
+    orientation-revealing features (real BOP/GSO assets are textured —
+    the reference always renders textures, panda3d_scene_renderer.py:298)."""
+    rng = np.random.RandomState(seed)
+    blocks = rng.uniform(0.1, 1.0, size=(cells, cells, 3))
+    up = size // cells
+    img = np.kron(blocks, np.ones((up, up, 1)))
+    return (img * 255).astype(np.uint8)
+
+
+def make_cube(
+    half_extent: float = 0.05,
+    color=(0.8, 0.2, 0.2),
+    textured: bool = False,
+    seed: int = 0,
+) -> TriMesh:
     """Flat-shaded cube: 24 vertices (4 per face) so vertex normals are the
-    true face normals, not corner averages."""
+    true face normals, not corner averages.
+
+    With ``textured=True``, each face maps to a distinct tile of a 3x2
+    random-block atlas (all six faces visually distinct, breaking the
+    cube's rotational symmetry in appearance)."""
     h = half_extent
     # (normal axis, sign) for the 6 faces.
     verts = []
@@ -468,22 +494,49 @@ def make_cube(half_extent: float = 0.05, color=(0.8, 0.2, 0.2)) -> TriMesh:
     verts = np.asarray(verts, np.float32)
     normals = np.asarray(normals, np.float32)
     colors = np.tile(np.asarray(color, np.float32), (len(verts), 1))
+    uvs = texture = None
+    if textured:
+        # Face f -> atlas tile (f % 3, f // 3) of a 3x2 grid; inset by half
+        # a texel so bilinear lookups don't bleed across tiles.
+        uvs = np.zeros((24, 2), np.float32)
+        pad = 1.0 / 128.0
+        for f in range(6):
+            fx, fy = f % 3, f // 3
+            u0, u1 = fx / 3 + pad, (fx + 1) / 3 - pad
+            v0, v1 = fy / 2 + pad, (fy + 1) / 2 - pad
+            uvs[4 * f : 4 * f + 4] = [
+                [u0, v0], [u1, v0], [u1, v1], [u0, v1]
+            ]
+        texture = make_random_texture(size=192, cells=24, seed=seed)
     return TriMesh(
         verts,
         np.asarray(faces, np.int32),
         vertex_normals=normals,
         vertex_colors=colors,
+        vertex_uvs=uvs,
+        texture=texture,
     )
 
 
 def make_uv_sphere(
-    radius: float = 0.05, n_lat: int = 16, n_lon: int = 24, color=(0.2, 0.4, 0.8)
+    radius: float = 0.05,
+    n_lat: int = 16,
+    n_lon: int = 24,
+    color=(0.2, 0.4, 0.8),
+    textured: bool = False,
+    seed: int = 1,
 ) -> TriMesh:
+    """UV sphere. With ``textured=True`` the longitude seam column is
+    duplicated so spherical UVs (u=lon/2pi, v=lat/pi) interpolate cleanly,
+    and a random-block texture is attached (see make_random_texture)."""
+    # Textured variant duplicates the u=1 seam column: n_lon+1 columns.
+    n_col = n_lon + 1 if textured else n_lon
     lats = np.linspace(0, np.pi, n_lat + 1)
-    lons = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    lons = np.linspace(0, 2 * np.pi, n_col, endpoint=not textured)
     verts = []
+    uvs = [] if textured else None
     for th in lats:
-        for ph in lons:
+        for k, ph in enumerate(lons):
             verts.append(
                 [
                     radius * np.sin(th) * np.cos(ph),
@@ -491,21 +544,29 @@ def make_uv_sphere(
                     radius * np.cos(th),
                 ]
             )
+            if textured:
+                uvs.append([k / n_lon, th / np.pi])
     verts = np.asarray(verts, np.float32)
     faces = []
     for i in range(n_lat):
         for j in range(n_lon):
-            a = i * n_lon + j
-            b = i * n_lon + (j + 1) % n_lon
-            c = (i + 1) * n_lon + j
-            d = (i + 1) * n_lon + (j + 1) % n_lon
+            jn = j + 1 if textured else (j + 1) % n_lon
+            a = i * n_col + j
+            b = i * n_col + jn
+            c = (i + 1) * n_col + j
+            d = (i + 1) * n_col + jn
             if i > 0:  # ring-0 vertices are all the pole: [a,c,b] degenerate
                 faces.append([a, c, b])
             if i < n_lat - 1:  # last ring collapses to the south pole
                 faces.append([b, c, d])
     colors = np.tile(np.asarray(color, np.float32), (len(verts), 1))
+    texture = make_random_texture(size=192, cells=24, seed=seed) if textured else None
     return TriMesh(
-        verts, np.asarray(faces, np.int32), vertex_colors=colors
+        verts,
+        np.asarray(faces, np.int32),
+        vertex_colors=colors,
+        vertex_uvs=None if uvs is None else np.asarray(uvs, np.float32),
+        texture=texture,
     ).with_computed_normals()
 
 

@@ -118,10 +118,18 @@ class PosePredictor(nn.Module):
             identity_bias = jnp.asarray(
                 [1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32
             )
+            # Small (not zero) kernel: a zeros kernel starves the backbone
+            # of rotation-head gradient at init, and the backbone settles
+            # into a translation-cue basin where dR stays ~identity (the
+            # orientation loss term plateaus while xy/z learn). A 1e-2
+            # normal keeps the initial update ~identity (bias-dominated)
+            # while coupling feature learning to the rotation objective
+            # from step 0 — the reference's default Linear init does the
+            # same coupling (pose_rigid.py:305-312).
             self.pose_fc = nn.Dense(
                 9,
                 param_dtype=jnp.float32,
-                kernel_init=nn.initializers.zeros,
+                kernel_init=nn.initializers.normal(stddev=1e-2),
                 bias_init=lambda key, shape, dtype=jnp.float32: identity_bias,
             )
         if self.cfg.predict_rendered_views_logits:

@@ -209,10 +209,19 @@ def synthetic_batch_fn(
         TCO = make_se3(R, jnp.concatenate([xy * z, z], -1))
         meshes = mesh_db.select(mesh_idx)
         K = jnp.broadcast_to(K1, (batch_size, 3, 3))
+        tex_kw = {}
+        if (
+            meshes.textures is not None
+            and meshes.uvs is not None
+            and meshes.has_tex is not None
+        ):
+            tex_kw = dict(
+                uvs=meshes.uvs, textures=meshes.textures, has_tex=meshes.has_tex
+            )
         out = rasterizer.render_meshes(
             meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
             meshes.face_valid, TCO, K, (H, W), chunk=face_chunk,
-            light_ambient=1.0, light_point=0.0,
+            light_ambient=1.0, light_point=0.0, **tex_kw,
         )
         uv = project_points_robust(meshes.points, K, TCO)
         bboxes = masked_boxes_from_uv(
