@@ -59,6 +59,7 @@ def test_decode_peaks():
     )
 
 
+@pytest.mark.slow
 def test_detection_loss_decreases(det_setup):
     cfg, model, params = det_setup
     rng = np.random.RandomState(0)
@@ -117,6 +118,7 @@ def test_detector_wrapper_contract(det_setup):
     assert len(none) == 0
 
 
+@pytest.mark.slow
 def test_mask_head_trains_and_emits_masks():
     """Segmentation head (MaskRCNN mask capability,
     models/mask_rcnn.py:24-45): BCE seg loss decreases and the Detector

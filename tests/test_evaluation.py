@@ -268,6 +268,7 @@ def test_mssd_respects_symmetries(bop_root):
     assert errs["mssd"][0] < 1e-4, errs["mssd"]
 
 
+@pytest.mark.slow
 def test_vsd(bop_root):
     import jax.numpy as jnp
 

@@ -85,6 +85,7 @@ def gt_detection_box(TCO_gt):
     )
 
 
+@pytest.mark.slow
 def test_pipeline_runs_and_shapes(setup):
     est, obs, TCO_gt = setup
     detections = make_detections(["cube"], gt_detection_box(TCO_gt))
@@ -101,6 +102,7 @@ def test_pipeline_runs_and_shapes(setup):
     assert est.timing_["total"] > 0
 
 
+@pytest.mark.slow
 def test_topk_consistent_with_logits(setup):
     est, obs, TCO_gt = setup
     detections = make_detections(["cube"], gt_detection_box(TCO_gt))
@@ -116,6 +118,7 @@ def test_topk_consistent_with_logits(setup):
     )
 
 
+@pytest.mark.slow
 def test_multi_detection(setup):
     est, obs, TCO_gt = setup
     boxes = np.concatenate(
@@ -131,6 +134,7 @@ def test_multi_detection(setup):
     assert (z > 0.05).all() and (z < 5.0).all()
 
 
+@pytest.mark.slow
 def test_deterministic(setup):
     est, obs, TCO_gt = setup
     detections = make_detections(["cube"], gt_detection_box(TCO_gt))
@@ -139,6 +143,7 @@ def test_deterministic(setup):
     np.testing.assert_allclose(out1.poses, out2.poses, atol=0)
 
 
+@pytest.mark.slow
 def test_fused_pipeline_matches_phased(setup):
     import dataclasses
 

@@ -52,6 +52,7 @@ def scene(mesh_batch, labels=("cube", "sphere")):
     return out.rgb, K, TCO, meshes
 
 
+@pytest.mark.slow
 def test_refiner_step_shapes_and_update(mesh_batch):
     cfg = make_refiner_config(
         render_size=RENDER, n_rendered_views=2,
@@ -100,6 +101,7 @@ def test_refiner_renders_nonempty(mesh_batch):
     assert (np.asarray(out["images_crop"]).max(axis=(1, 2, 3)) > 0.1).all()
 
 
+@pytest.mark.slow
 def test_coarse_scores(mesh_batch):
     cfg = make_coarse_config(render_size=RENDER, face_chunk=32)
     model = PosePredictor(cfg)
@@ -114,6 +116,7 @@ def test_coarse_scores(mesh_batch):
     assert cfg.n_inputs == 9
 
 
+@pytest.mark.slow
 def test_refine_step_jits_and_scans(mesh_batch):
     """The refiner iteration must compile and run under lax.scan — the
     TPU-native replacement for the reference's Python loop."""
@@ -141,6 +144,7 @@ def test_refine_step_jits_and_scans(mesh_batch):
     assert np.isfinite(np.asarray(T_final)).all()
 
 
+@pytest.mark.slow
 def test_input_depth_channels(mesh_batch):
     cfg = make_refiner_config(
         render_size=RENDER, n_rendered_views=1, input_depth=True,

@@ -91,6 +91,7 @@ def test_nonfinite_and_empty():
     assert not np.asarray(tiled.mask).any()
 
 
+@pytest.mark.slow
 def test_chunk_sizes_equivalent():
     """Chunk granularity must not change the image (only skip efficiency)."""
     sph = make_uv_sphere(0.04, 16, 24)
@@ -102,6 +103,7 @@ def test_chunk_sizes_equivalent():
     )
 
 
+@pytest.mark.slow
 def test_backface_cull_equivalence():
     """For closed outward-CCW meshes, culling must not change the image."""
     from megapose6d_tpu.meshes import (

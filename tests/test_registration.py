@@ -91,6 +91,7 @@ def test_fps_respects_valid_mask():
     assert (idx < 16).all()
 
 
+@pytest.mark.slow
 def test_gnc_refiner_end_to_end():
     """Perturbed pose -> rendered-vs-measured depth registration recovers
     the pose (the TeaserppRefiner pipeline shape)."""

@@ -70,6 +70,7 @@ def example_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_run_inference_on_example(example_dir):
     from megapose6d_tpu.scripts.run_inference_on_example import main
 
@@ -94,6 +95,7 @@ def test_run_inference_on_example(example_dir):
     np.testing.assert_allclose(np.linalg.norm(quat), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_run_training_synthetic_smoke(tmp_path, monkeypatch):
     from megapose6d_tpu.scripts.run_training import main
 

@@ -25,6 +25,7 @@ IMG = (72, 96)
 K = np.asarray([[120.0, 0, 48], [0, 120.0, 36], [0, 0, 1]], np.float32)
 
 
+@pytest.mark.slow
 def test_sharded_coarse_matches_single_device():
     assert len(jax.devices()) == 8
     objs = RigidObjectDataset([RigidObject(label="cube", mesh=make_cube(0.04))])

@@ -118,6 +118,7 @@ def test_sharded_render_selects_local(sharded):
     assert len(np.unique(np.round(np.asarray(out), 6))) > 1
 
 
+@pytest.mark.slow
 def test_sharded_train_step(sharded):
     import dataclasses
 

@@ -95,6 +95,7 @@ def _expected_checker(rgb, mask):
     assert hits == 16
 
 
+@pytest.mark.slow
 def test_textured_quad_scan_renderer():
     m, TCO, K = _render_setup()
     out = rasterizer.render_meshes(

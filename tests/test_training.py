@@ -96,6 +96,7 @@ def test_hypotheses_refiner_noise(mesh_db):
     assert (d < 0.5).all() and (d > 0).all()
 
 
+@pytest.mark.slow
 def test_hypotheses_coarse_multiview(mesh_db):
     cfg = small_cfg(
         hypotheses_init_method="coarse_classif_multiview_paper",
@@ -112,6 +113,7 @@ def test_hypotheses_coarse_multiview(mesh_db):
     assert (np.asarray(pos).sum(1) <= 1).all()
 
 
+@pytest.mark.slow
 def test_refiner_train_step_decreases_loss(mesh_db):
     # Large init noise so the loss starts well above the identity-update
     # floor (the pose head initializes to the identity update).
@@ -144,6 +146,7 @@ def test_refiner_train_step_decreases_loss(mesh_db):
     assert np.mean(losses[-5:]) < np.mean(losses[:3]), losses
 
 
+@pytest.mark.slow
 def test_coarse_train_step(mesh_db):
     cfg = make_coarse_cfg(small_cfg())
     cfg = dataclasses.replace(cfg, n_hypotheses=4)
@@ -161,6 +164,7 @@ def test_coarse_train_step(mesh_db):
     assert np.isfinite(float(metrics["loss_total"]))
 
 
+@pytest.mark.slow
 def test_train_step_sharded_8_devices(mesh_db):
     """Data-parallel train step over the 8 virtual CPU devices."""
     assert len(jax.devices()) == 8
@@ -186,6 +190,7 @@ def test_train_step_sharded_8_devices(mesh_db):
     assert len(batch.rgbs.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(mesh_db, tmp_path):
     cfg = make_refiner_cfg(small_cfg())
     cfg = dataclasses.replace(

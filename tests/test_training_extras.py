@@ -26,6 +26,7 @@ def mesh_db():
     ).batched(align=32)
 
 
+@pytest.mark.slow
 def test_debug_visualization(mesh_db, tmp_path):
     from megapose6d_tpu.models import PosePredictor, make_refiner_config
     from megapose6d_tpu.training import synthetic_batch_fn
@@ -51,6 +52,7 @@ def test_debug_visualization(mesh_db, tmp_path):
     assert grid.max() > 10  # something rendered
 
 
+@pytest.mark.slow
 def test_detector_training_script(tmp_path, monkeypatch):
     from megapose6d_tpu.scripts.run_detector_training import main
 

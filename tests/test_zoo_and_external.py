@@ -69,6 +69,7 @@ def test_named_models_registry():
     )
 
 
+@pytest.mark.slow
 def test_load_named_model_and_external_init(objects):
     est = load_named_model(
         "megapose-1.0-RGB",
@@ -99,6 +100,7 @@ def test_load_named_model_and_external_init(objects):
     assert extra["refiner"]["trajectory"].shape[0] == 1
 
 
+@pytest.mark.slow
 def test_rgbd_named_model_with_icp(objects):
     est = load_named_model(
         "megapose-1.0-RGB-multi-hypothesis-icp",
