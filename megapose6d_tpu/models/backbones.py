@@ -59,10 +59,21 @@ class BasicBlock(nn.Module):
 
 
 class ResNet(nn.Module):
-    """ResNet-18/34 trunk + linear feature head.
+    """ResNet-18/34 trunk + feature head.
 
     Output: `[B, n_features]` (the reference's backbone contract —
     `backbone.n_features`, pose_rigid.py:116-118; heads attach on top).
+
+    `pool` selects the head:
+      - "avg": global average pool + Dense (torchvision/reference layout).
+      - "spatial": 1x1 conv to `spatial_ch` channels, flatten the HxW map,
+        Dense. Preserves spatial arrangement, which global pooling
+        destroys — measured on the synthetic demo task, GAP features
+        linearly decode the needed TRANSLATION (ridge R2=0.84) but carry
+        ZERO rotation information (R2~=0.0) after thousands of steps; the
+        spatial head is what makes rotation refinement learnable at small
+        data scale (DeepIM's own head flattens spatial features for the
+        same reason).
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # ResNet-34
@@ -70,6 +81,8 @@ class ResNet(nn.Module):
     n_features: int = 512
     norm_groups: int = 32
     dtype: Dtype = jnp.float32
+    pool: str = "avg"
+    spatial_ch: int = 64
 
     @nn.compact
     def __call__(self, x):
@@ -88,7 +101,20 @@ class ResNet(nn.Module):
                 x = BasicBlock(
                     features, strides, self.norm_groups, self.dtype
                 )(x)
-        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        if self.pool == "spatial":
+            x = nn.Conv(
+                self.spatial_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+            x = nn.relu(
+                nn.GroupNorm(
+                    num_groups=min(8, self.spatial_ch), dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                )(x)
+            )
+            x = x.reshape(x.shape[0], -1)  # [B, H*W*spatial_ch]
+        else:
+            x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = nn.Dense(
             self.n_features, dtype=self.dtype, param_dtype=jnp.float32
         )(x)
@@ -257,6 +283,14 @@ def make_backbone(name: str, n_features: int = 512, dtype=jnp.float32):
         return ResNet((3, 4, 6, 3), n_features=n_features, dtype=dtype)
     if name == "resnet18":
         return ResNet((2, 2, 2, 2), n_features=n_features, dtype=dtype)
+    if name == "resnet34-spatial":
+        return ResNet(
+            (3, 4, 6, 3), n_features=n_features, dtype=dtype, pool="spatial"
+        )
+    if name == "resnet18-spatial":
+        return ResNet(
+            (2, 2, 2, 2), n_features=n_features, dtype=dtype, pool="spatial"
+        )
     if name == "wide_resnet18":
         return WideResNet((2, 2, 2, 2), n_features=n_features, dtype=dtype)
     if name == "wide_resnet34":

@@ -121,15 +121,20 @@ class PosePredictor(nn.Module):
             # Small (not zero) kernel: a zeros kernel starves the backbone
             # of rotation-head gradient at init, and the backbone settles
             # into a translation-cue basin where dR stays ~identity (the
-            # orientation loss term plateaus while xy/z learn). A 1e-2
-            # normal keeps the initial update ~identity (bias-dominated)
-            # while coupling feature learning to the rotation objective
-            # from step 0 — the reference's default Linear init does the
-            # same coupling (pose_rigid.py:305-312).
+            # orientation loss term plateaus while xy/z learn). Fan-in
+            # scaled so the initial output spread is ~0.03 regardless of
+            # feature width (a fixed stddev blows up vz with wide spatial
+            # feature heads: vz<=0 samples hit the update's z clip and go
+            # gradient-dead). Keeps the initial update ~identity
+            # (bias-dominated) while coupling feature learning to the
+            # rotation objective from step 0 — the reference's default
+            # Linear init does the same coupling (pose_rigid.py:305-312).
             self.pose_fc = nn.Dense(
                 9,
                 param_dtype=jnp.float32,
-                kernel_init=nn.initializers.normal(stddev=1e-2),
+                kernel_init=nn.initializers.variance_scaling(
+                    1e-3, "fan_in", "truncated_normal"
+                ),
                 bias_init=lambda key, shape, dtype=jnp.float32: identity_bias,
             )
         if self.cfg.predict_rendered_views_logits:

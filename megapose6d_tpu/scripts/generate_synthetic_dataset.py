@@ -36,11 +36,30 @@ from ..utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def make_scene_renderer(mesh_db, n_obj: int, resolution, f: float):
-    """Jitted multi-object scene render: per-object renders + z-composite.
+def _random_background(key, resolution):
+    """Procedural cluttered background: a low-frequency random color field
+    upsampled (the PBR-realism analog of the reference's BlenderProc room
+    textures / VOC background augmentation, generate_shapenet_pbr.py +
+    augmentations VOCBackgroundAugmentation)."""
+    H, W = resolution
+    k1, k2, k3 = jax.random.split(key, 3)
+    coarse = jax.random.uniform(k1, (6, 8, 3), minval=0.0, maxval=1.0)
+    fine = jax.random.uniform(k2, (24, 32, 3), minval=-0.15, maxval=0.15)
+    bg = jax.image.resize(coarse, (H, W, 3), "linear") + jax.image.resize(
+        fine, (H, W, 3), "linear"
+    )
+    gain = jax.random.uniform(k3, (), minval=0.4, maxval=1.0)
+    return jnp.clip(bg * gain, 0.0, 1.0)
+
+
+def make_scene_renderer(
+    mesh_db, n_obj: int, resolution, f: float, background: bool = True
+):
+    """Jitted multi-object scene render: per-object renders + z-composite
+    over a procedural background.
 
     Returns fn(key) -> (rgb [H,W,3], depth, seg [H,W] i32, TCO [n_obj,4,4],
-    mesh_idx [n_obj])."""
+    mesh_idx [n_obj], K [3,3], visib [n_obj])."""
     H, W = resolution
     K1 = jnp.asarray(
         [[f, 0.0, W / 2 - 0.5], [0.0, f, H / 2 - 0.5], [0.0, 0.0, 1.0]],
@@ -48,8 +67,16 @@ def make_scene_renderer(mesh_db, n_obj: int, resolution, f: float):
     )
     quat_pool = jnp.asarray(super_fibonacci_quats(4096), jnp.float32)
 
+    tex_kw = {}
+    if (
+        mesh_db.textures is not None
+        and mesh_db.uvs is not None
+        and mesh_db.has_tex is not None
+    ):
+        tex_kw = dict(textured=True)
+
     def fn(key):
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
         L = mesh_db.n_labels
         mesh_idx = jax.random.randint(k1, (n_obj,), 0, L)
         q = quat_pool[jax.random.randint(k2, (n_obj,), 0, len(quat_pool))]
@@ -59,12 +86,23 @@ def make_scene_renderer(mesh_db, n_obj: int, resolution, f: float):
         TCO = make_se3(R, jnp.concatenate([xy * z, z], -1))
         meshes = mesh_db.select(mesh_idx)
         K = jnp.broadcast_to(K1, (n_obj, 3, 3))
-        amb = jax.random.uniform(k5, (n_obj,), minval=0.7, maxval=1.0)
+        amb = jax.random.uniform(k5, (n_obj,), minval=0.6, maxval=1.0)
+        pnt = jax.random.uniform(k6, (n_obj,), minval=0.1, maxval=0.4)
+        mesh_tex_kw = (
+            dict(
+                uvs=meshes.uvs,
+                textures=meshes.textures,
+                has_tex=meshes.has_tex,
+            )
+            if tex_kw
+            else {}
+        )
         out = rasterizer_tiled.render_meshes_tiled(
             meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
             meshes.face_valid, TCO, K, (H, W),
-            light_ambient=amb, light_point=0.25,
+            light_ambient=amb, light_point=pnt,
             interpret=jax.default_backend() == "cpu",
+            **mesh_tex_kw,
         )
         # z-composite the n_obj layers.
         depth_l = jnp.where(out.mask, out.depth, jnp.inf)  # [n, H, W]
@@ -74,10 +112,22 @@ def make_scene_renderer(mesh_db, n_obj: int, resolution, f: float):
             a, winner[None, ..., None] if a.ndim == 4 else winner[None],
             axis=0,
         )[0]
-        rgb = jnp.where(any_hit[..., None], take(out.rgb), 0.0)
+        fg = take(out.rgb)
+        if background:
+            bg = _random_background(k7, resolution)
+        else:
+            bg = jnp.zeros((H, W, 3), fg.dtype)
+        rgb = jnp.where(any_hit[..., None], fg, bg)
         depth = jnp.where(any_hit, take(out.depth), 0.0)
         seg = jnp.where(any_hit, winner + 1, 0).astype(jnp.int32)
-        return rgb, depth, seg, TCO, mesh_idx, K1
+        # Visible fraction per object: visible px / unoccluded-layer px
+        # (the reference gets visib_fract from BlenderProc/BOP gt_info).
+        layer_px = out.mask.sum(axis=(1, 2))  # [n]
+        vis_px = (
+            (winner[None] == jnp.arange(n_obj)[:, None, None]) & any_hit[None]
+        ).sum(axis=(1, 2))
+        visib = vis_px / jnp.maximum(layer_px, 1)
+        return rgb, depth, seg, TCO, mesh_idx, K1, visib
 
     return jax.jit(fn)
 
@@ -100,7 +150,7 @@ def generate(
         key = jax.random.PRNGKey(seed)
         for i in range(n_frames):
             key, sub = jax.random.split(key)
-            rgb, depth, seg, TCO, mesh_idx, K = render(sub)
+            rgb, depth, seg, TCO, mesh_idx, K, visib = render(sub)
             rgb8 = np.asarray(
                 jnp.clip(rgb * 255, 0, 255).astype(jnp.uint8)
             )
@@ -119,7 +169,7 @@ def generate(
                             [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
                             np.float64,
                         ),
-                        visib_fract=1.0,
+                        visib_fract=float(visib[n]),
                     )
                 )
             yield SceneObservation(
@@ -177,7 +227,7 @@ def generate_bop(
         key = jax.random.PRNGKey(seed)
         for i in range(n_frames):
             key, sub = jax.random.split(key)
-            rgb, depth, seg, TCO, mesh_idx, K = render(sub)
+            rgb, depth, seg, TCO, mesh_idx, K, visib = render(sub)
             rgb8 = np.asarray(jnp.clip(rgb * 255, 0, 255).astype(jnp.uint8))
             seg_np = np.asarray(seg).astype(np.uint32)
             object_datas = []
@@ -189,7 +239,7 @@ def generate_bop(
                         label=labels[int(mesh_idx[n])],
                         TWO=np.asarray(TCO[n], np.float64),
                         unique_id=n + 1,
-                        visib_fract=1.0,
+                        visib_fract=float(visib[n]),
                     )
                 )
             yield SceneObservation(
@@ -213,18 +263,29 @@ def generate_bop(
 
 
 def _default_objects():
-    """Procedural objects with BOP-convention labels (obj_000001...)."""
-    from ..meshes.io import make_cube, make_uv_sphere
+    """Procedural TEXTURED objects with BOP-convention labels
+    (obj_000001...): random-block textures give the render-and-compare
+    models the high-frequency appearance cues real BOP/GSO assets have."""
+    from ..meshes.io import make_cube, make_cylinder, make_uv_sphere
     from ..meshes.mesh_db import RigidObject, RigidObjectDataset
 
     return RigidObjectDataset(
         [
             RigidObject(
-                label="obj_000001", mesh=make_cube(0.04, (0.8, 0.2, 0.2))
+                label="obj_000001",
+                mesh=make_cube(0.04, textured=True, seed=11),
             ),
             RigidObject(
                 label="obj_000002",
-                mesh=make_uv_sphere(0.04, color=(0.2, 0.4, 0.8)),
+                mesh=make_uv_sphere(0.04, 24, 32, textured=True, seed=12),
+            ),
+            RigidObject(
+                label="obj_000003",
+                mesh=make_cylinder(0.025, 0.09, n_seg=32),
+            ),
+            RigidObject(
+                label="obj_000004",
+                mesh=make_uv_sphere(0.03, 20, 28, textured=True, seed=13),
             ),
         ]
     )

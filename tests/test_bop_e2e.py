@@ -53,8 +53,9 @@ def test_bop_writer_reader_roundtrip(bop_ds_dir):
     assert obs.camera_data.K[0, 0] == pytest.approx(140.0)
     gts = obs.gt_detections()
     assert 1 <= len(gts) <= 2
+    labels_all = ("obj_000001", "obj_000002", "obj_000003", "obj_000004")
     for g in gts:
-        assert g.label in ("obj_000001", "obj_000002")
+        assert g.label in labels_all
         x0, y0, x1, y1 = g.bbox_modal
         assert 0 <= x0 < x1 <= RES[1] and 0 <= y0 < y1 <= RES[0]
         # Object in front of the camera, ~0.5-1.2 m away.
@@ -62,7 +63,9 @@ def test_bop_writer_reader_roundtrip(bop_ds_dir):
     assert obs.segmentation is not None and obs.segmentation.max() >= 1
 
     objs = load_bop_object_dataset(bop_ds_dir / "synth" / "models")
-    assert objs.labels == ["obj_000001", "obj_000002"]
+    assert objs.labels == [
+        "obj_000001", "obj_000002", "obj_000003", "obj_000004"
+    ]
     cube = objs.get_object_by_label("obj_000001").load()
     # cube(half=0.04): diagonal = 0.08 * sqrt(3) m (models stored in mm).
     assert cube.diameter() == pytest.approx(0.08 * 3**0.5, rel=0.05)
@@ -93,7 +96,7 @@ def test_run_eval_end_to_end(bop_ds_dir, tmp_path, monkeypatch):
     rows = load_bop_results(out / "synth.csv")
     assert len(rows) >= 2
     for r in rows:
-        assert r["obj_id"] in (1, 2)
+        assert r["obj_id"] in (1, 2, 3, 4)
         assert r["scene_id"] == 0
         assert np.isfinite(r["R"]).all() and np.isfinite(r["t"]).all()
         # t in millimeters (z was 0.5-1.2 m).
