@@ -21,6 +21,10 @@ from .types import CameraData, ObjectData
 
 
 def _imread(path: Path) -> np.ndarray:
+    from .. import native
+
+    if native.available():
+        return native.decode_image(Path(path).read_bytes())
     from PIL import Image
 
     return np.asarray(Image.open(path))

@@ -37,6 +37,12 @@ def _png_bytes(arr: np.ndarray) -> bytes:
 
 
 def _png_read(data: bytes) -> np.ndarray:
+    # Native libpng/libjpeg decoder (C++ thread pool, megapose6d_tpu.native)
+    # when the toolchain is present; PIL otherwise.
+    from .. import native
+
+    if native.available():
+        return native.decode_image(data)
     from PIL import Image
 
     return np.asarray(Image.open(io.BytesIO(data)))

@@ -1,0 +1,188 @@
+"""Native (C++) runtime components, bound via ctypes.
+
+`decode.cc` is the input pipeline's image decoder (libpng/libjpeg + an
+std::thread pool) — the TPU framework's equivalent of the native decode
+work torch's C++ DataLoader workers do for the reference
+(train_megapose.py:170-178). Built on first use with g++ (no pybind11 in
+this environment; the C ABI + ctypes keeps the binding dependency-free)
+and cached next to the source; falls back to PIL transparently when a
+toolchain or the image libraries are unavailable.
+
+Public API:
+    available() -> bool
+    decode_image(data: bytes) -> np.ndarray   # HxWxC u8, HxW u8, or HxW u16
+    decode_batch(list[bytes], n_threads=0) -> list[np.ndarray]
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+_SRC = Path(__file__).parent / "decode.cc"
+_LIB_PATH = Path(__file__).parent / "_decode.so"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> Path | None:
+    """Compile decode.cc -> _decode.so if stale or missing."""
+    if (
+        _LIB_PATH.exists()
+        and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime
+    ):
+        return _LIB_PATH
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O2", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(_LIB_PATH), "-lpng", "-ljpeg", "-lz",
+        "-lpthread",
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, text=True, timeout=120
+        )
+    except (OSError, subprocess.SubprocessError) as e:
+        err = getattr(e, "stderr", "") or str(e)
+        logger.info(f"native decoder unavailable (build failed): {err[:500]}")
+        return None
+    return _LIB_PATH
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        path = _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError as e:
+            logger.info(f"native decoder unavailable (load failed): {e}")
+            return None
+        u8p = ctypes.POINTER(ctypes.c_ubyte)
+        i32p = ctypes.POINTER(ctypes.c_int)
+        lib.mp_image_info.argtypes = [u8p, ctypes.c_long, i32p, i32p, i32p, i32p]
+        lib.mp_image_info.restype = ctypes.c_int
+        lib.mp_decode_image.argtypes = [
+            u8p, ctypes.c_long, u8p, ctypes.c_long, i32p, i32p, i32p, i32p,
+        ]
+        lib.mp_decode_image.restype = ctypes.c_int
+        lib.mp_decode_batch.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(u8p),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(u8p),
+            ctypes.POINTER(ctypes.c_long),
+            i32p, i32p, i32p, i32p,
+            ctypes.c_int,
+        ]
+        lib.mp_decode_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u8p(buf) -> ctypes.POINTER(ctypes.c_ubyte):
+    return ctypes.cast(
+        ctypes.c_char_p(bytes(buf)), ctypes.POINTER(ctypes.c_ubyte)
+    )
+
+
+def _wrap(out: np.ndarray, h: int, w: int, c: int, bd: int) -> np.ndarray:
+    if bd == 16:
+        arr = out[: h * w * 2].view(np.uint16).reshape(h, w)
+    elif c == 1:
+        arr = out[: h * w].reshape(h, w)
+    else:
+        arr = out[: h * w * c].reshape(h, w, c)
+    return arr
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode one PNG/JPEG. uint8 [H,W,(C)] or uint16 [H,W] (16-bit PNG)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder not available")
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    bd = ctypes.c_int()
+    buf = np.frombuffer(data, np.uint8)
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    rc = lib.mp_image_info(src, len(data), h, w, c, bd)
+    if rc != 0:
+        raise ValueError(f"mp_image_info failed: {rc}")
+    cap = h.value * w.value * max(c.value, 1) * (2 if bd.value == 16 else 1)
+    out = np.empty(cap, np.uint8)
+    rc = lib.mp_decode_image(
+        src, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        cap, h, w, c, bd,
+    )
+    if rc != 0:
+        raise ValueError(f"mp_decode_image failed: {rc}")
+    return _wrap(out, h.value, w.value, c.value, bd.value)
+
+
+def decode_batch(datas: list[bytes], n_threads: int = 0) -> list[np.ndarray]:
+    """Decode a batch in parallel C++ threads (n_threads=0: hw count)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder not available")
+    n = len(datas)
+    if n == 0:
+        return []
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    srcs_np = [np.frombuffer(d, np.uint8) for d in datas]
+    bufs = (u8p * n)(*[s.ctypes.data_as(u8p) for s in srcs_np])
+    sizes = (ctypes.c_long * n)(*[len(d) for d in datas])
+    hs = (ctypes.c_int * n)()
+    ws = (ctypes.c_int * n)()
+    cs = (ctypes.c_int * n)()
+    bds = (ctypes.c_int * n)()
+    # Probe headers to size the outputs.
+    outs_np = []
+    caps = (ctypes.c_long * n)()
+    outs = (u8p * n)()
+    for i, s in enumerate(srcs_np):
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        c = ctypes.c_int()
+        bd = ctypes.c_int()
+        rc = lib.mp_image_info(
+            s.ctypes.data_as(u8p), len(datas[i]), h, w, c, bd
+        )
+        if rc != 0:
+            raise ValueError(f"mp_image_info[{i}] failed: {rc}")
+        cap = h.value * w.value * max(c.value, 1) * (
+            2 if bd.value == 16 else 1
+        )
+        arr = np.empty(cap, np.uint8)
+        outs_np.append(arr)
+        caps[i] = cap
+        outs[i] = arr.ctypes.data_as(u8p)
+    rc = lib.mp_decode_batch(
+        n, bufs, sizes, outs, caps, hs, ws, cs, bds,
+        n_threads if n_threads > 0 else os.cpu_count() or 1,
+    )
+    if rc != 0:
+        raise ValueError(f"mp_decode_batch failed: {rc}")
+    return [
+        _wrap(outs_np[i], hs[i], ws[i], cs[i], bds[i]) for i in range(n)
+    ]
