@@ -56,14 +56,20 @@ def write_scene_ds_as_wds(
     out_dir: str | Path,
     frames_per_shard: int = 1000,
     shard_format: str = "shard-{:06d}.tar",
+    shard_offset: int = 0,
+    frame_id_offset: int = 0,
 ) -> list[Path]:
-    """Write shards (web_scene_dataset.py:write_scene_ds_as_wds:53-128)."""
+    """Write shards (web_scene_dataset.py:write_scene_ds_as_wds:53-128).
+
+    `shard_offset` / `frame_id_offset` let multiple datagen ranks write
+    disjoint shard ranges of one dataset (the reference's chunk split,
+    generate_shapenet_pbr.py:768-840)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     shards: list[Path] = []
     tar = None
     n_in_shard = 0
-    frame_id = 0
+    frame_id = frame_id_offset
 
     def add(name: str, data: bytes):
         info = tarfile.TarInfo(name)
@@ -74,7 +80,7 @@ def write_scene_ds_as_wds(
         if tar is None or n_in_shard >= frames_per_shard:
             if tar is not None:
                 tar.close()
-            path = out_dir / shard_format.format(len(shards))
+            path = out_dir / shard_format.format(len(shards) + shard_offset)
             shards.append(path)
             tar = tarfile.open(path, "w")
             n_in_shard = 0

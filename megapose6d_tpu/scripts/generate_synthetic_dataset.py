@@ -141,15 +141,27 @@ def generate(
     f: float = 600.0,
     frames_per_shard: int = 1000,
     seed: int = 0,
+    rank: int = 0,
+    world_size: int = 1,
 ):
+    """Render `n_frames` frames into webdataset shards.
+
+    Shard-level parallel + resumable, like the reference's chunked
+    BlenderProc datagen (generate_shapenet_pbr.py:768-840: chunk ids
+    np.array_split across ranks, only missing chunks re-rendered): shard
+    `s` covers frames `[s*fps, (s+1)*fps)` deterministically (frame i's
+    PRNG key is fold_in(seed, i)), rank r renders shards r, r+W, r+2W...,
+    and shards whose .tar already exists are skipped."""
     out_dir = Path(out_dir)
     render = make_scene_renderer(mesh_db, n_obj_per_scene, resolution, f)
     labels = mesh_db.labels
+    fps = frames_per_shard
+    n_shards_total = (n_frames + fps - 1) // fps
+    base_key = jax.random.PRNGKey(seed)
 
-    def observations():
-        key = jax.random.PRNGKey(seed)
-        for i in range(n_frames):
-            key, sub = jax.random.split(key)
+    def observations(frames):
+        for i in frames:
+            sub = jax.random.fold_in(base_key, i)
             rgb, depth, seg, TCO, mesh_idx, K, visib = render(sub)
             rgb8 = np.asarray(
                 jnp.clip(rgb * 255, 0, 255).astype(jnp.uint8)
@@ -185,10 +197,25 @@ def generate(
             if (i + 1) % 500 == 0:
                 logger.info(f"rendered {i + 1}/{n_frames} frames")
 
-    shards = write_scene_ds_as_wds(
-        observations(), out_dir, frames_per_shard=frames_per_shard
+    shards: list[Path] = []
+    shard_fmt = "shard-{:06d}.tar"
+    for s in range(rank, n_shards_total, world_size):
+        path = out_dir / shard_fmt.format(s)
+        if path.exists():
+            logger.info(f"shard {path.name} exists, skipping")
+            shards.append(path)
+            continue
+        frames = range(s * fps, min((s + 1) * fps, n_frames))
+        shards += write_scene_ds_as_wds(
+            observations(frames),
+            out_dir,
+            frames_per_shard=len(frames),
+            shard_offset=s,
+            frame_id_offset=frames.start,
+        )
+    logger.info(
+        f"rank {rank}/{world_size}: {len(shards)} shards in {out_dir}"
     )
-    logger.info(f"wrote {len(shards)} shards to {out_dir}")
     return shards
 
 
@@ -302,6 +329,8 @@ def main(argv=None):
         seed="0",
         format="wds",
         split="test",
+        rank="0",
+        world_size="1",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -339,6 +368,8 @@ def main(argv=None):
             n_obj_per_scene=int(args["n_obj_per_scene"]),
             frames_per_shard=int(args["frames_per_shard"]),
             seed=int(args["seed"]),
+            rank=int(args["rank"]),
+            world_size=int(args["world_size"]),
         )
 
 

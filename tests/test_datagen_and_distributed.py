@@ -112,3 +112,43 @@ def test_resources_and_random():
     stats = device_memory_stats()
     assert "bytes_in_use" in stats
     assert host_memory_rss_mb() > 10
+
+def test_generate_sharded_ranks_and_resume(tmp_path):
+    """Rank-split datagen (reference chunk split, generate_shapenet_pbr.py:
+    768-840): two ranks write disjoint shards of ONE dataset; re-running
+    skips existing shards; frames are identical regardless of the split."""
+    from megapose6d_tpu.scripts.generate_synthetic_dataset import generate
+
+    objs = RigidObjectDataset(
+        [
+            RigidObject(label="cube", mesh=make_cube(0.04)),
+            RigidObject(label="sphere", mesh=make_uv_sphere(0.04, 8, 12)),
+        ]
+    )
+    mesh_db = MeshDataBase.from_object_ds(
+        objs, max_faces=256, n_points=64, n_sym=2
+    ).batched(align=32)
+    kw = dict(
+        n_frames=6, resolution=(48, 64), n_obj_per_scene=2, f=90.0,
+        frames_per_shard=2,
+    )
+    # Reference single-rank output.
+    ref = generate(mesh_db, tmp_path / "ref", **kw)
+    assert len(ref) == 3
+    # Two ranks into one dir.
+    s0 = generate(mesh_db, tmp_path / "multi", rank=0, world_size=2, **kw)
+    s1 = generate(mesh_db, tmp_path / "multi", rank=1, world_size=2, **kw)
+    assert [p.name for p in s0] == ["shard-000000.tar", "shard-000002.tar"]
+    assert [p.name for p in s1] == ["shard-000001.tar"]
+    ds = WebSceneDataset(tmp_path / "multi")
+    ds_ref = WebSceneDataset(tmp_path / "ref")
+    assert len(ds) == len(ds_ref) == 6
+    import numpy as np
+
+    for i in (0, 3, 5):
+        np.testing.assert_array_equal(ds[i].rgb, ds_ref[i].rgb)
+        assert ds[i].infos.view_id == ds_ref[i].infos.view_id == i
+    # Resume: re-running rank 0 skips both existing shards (same mtimes).
+    mt = {p.name: p.stat().st_mtime_ns for p in s0}
+    s0b = generate(mesh_db, tmp_path / "multi", rank=0, world_size=2, **kw)
+    assert {p.name: p.stat().st_mtime_ns for p in s0b} == mt
