@@ -95,6 +95,11 @@ class ParallelBatchLoader:
             return self
         if self._procs:
             return self
+        # Warm the native decoder build in the parent so spawned workers
+        # dlopen the cached .so instead of each racing a g++ compile.
+        from .. import native
+
+        native.available()
         ctx = mp.get_context("spawn")
         self._queue = ctx.Queue(maxsize=self.prefetch)
         self._stop = ctx.Event()
@@ -120,7 +125,7 @@ class ParallelBatchLoader:
             return
         while True:
             try:
-                yield self._queue.get(timeout=120.0)
+                yield self._queue.get(timeout=300.0)  # worker cold-start imports jax
             except queue_lib.Empty:
                 dead = [p for p in self._procs if not p.is_alive()]
                 if dead:

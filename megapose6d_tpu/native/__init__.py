@@ -42,19 +42,24 @@ def _build() -> Path | None:
         and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime
     ):
         return _LIB_PATH
+    # Compile to a per-pid temp file then atomically rename: dataloader
+    # worker processes may race to build the same .so.
+    tmp = _LIB_PATH.with_suffix(f".{os.getpid()}.tmp")
     cmd = [
         os.environ.get("CXX", "g++"),
         "-O2", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_LIB_PATH), "-lpng", "-ljpeg", "-lz",
+        str(_SRC), "-o", str(tmp), "-lpng", "-ljpeg", "-lz",
         "-lpthread",
     ]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, text=True, timeout=120
         )
+        os.replace(tmp, _LIB_PATH)
     except (OSError, subprocess.SubprocessError) as e:
         err = getattr(e, "stderr", "") or str(e)
         logger.info(f"native decoder unavailable (build failed): {err[:500]}")
+        tmp.unlink(missing_ok=True)
         return None
     return _LIB_PATH
 
