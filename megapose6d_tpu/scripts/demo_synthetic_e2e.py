@@ -142,7 +142,9 @@ def main(argv=None):
         input_resize=input_res,
         render_size=render,
         batch_size=int(args["batch_size"]),
-        backbone_str="resnet18",
+        # Spatial-pool head: GAP backbones cannot learn rotation at demo
+        # data scale (see demo_long_refiner docstring + DEMO.md).
+        backbone_str="resnet18-spatial",
         compute_dtype=dtype,
         n_points_loss=256,
         lr=3e-4,

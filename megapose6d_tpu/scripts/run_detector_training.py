@@ -43,7 +43,7 @@ def make_batch_fn(
         keys = jax.random.split(key, batch_size)
         rgbs, boxes, classes, valids, segs = [], [], [], [], []
         for k in keys:  # traced loop unrolls; batch_size is small
-            rgb, depth, seg, TCO, mesh_idx, _ = render(k)
+            rgb, depth, seg, TCO, mesh_idx, _, _visib = render(k)
             rgbs.append(rgb)
             if with_seg:
                 # Scene seg ids (1..n_obj) -> class ids (-1 = background),

@@ -121,7 +121,7 @@ def test_refiner_train_step_decreases_loss(mesh_db):
         small_cfg(
             init_euler_deg_std=(40.0, 40.0, 40.0),
             init_trans_std=(0.04, 0.04, 0.12),
-            lr=2e-3,
+            lr=1e-3,
         )
     )
     cfg = dataclasses.replace(
@@ -138,7 +138,7 @@ def test_refiner_train_step_decreases_loss(mesh_db):
     batch = batch_fn(jax.random.PRNGKey(3))  # fixed batch: overfit signal
 
     losses = []
-    for i in range(22):
+    for i in range(40):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(42), 1)
         losses.append(float(metrics["loss_total"]))
         assert np.isfinite(losses[-1])
