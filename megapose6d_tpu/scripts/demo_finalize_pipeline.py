@@ -1,0 +1,180 @@
+"""Finalize the long-refiner demo: load the trained refiner checkpoint,
+train a coarse scorer, and evaluate the FULL coarse->top-K->refine->rescore
+pipeline from GT boxes on held-out scenes.
+
+Companion to demo_long_refiner (which produces the refiner checkpoint +
+rotation learning curve); together they are the round-2 DEMO artifact.
+
+Usage:
+    python -m megapose6d_tpu.scripts.demo_finalize_pipeline \\
+        refiner_dir=/tmp/demo_long out_dir=/tmp/demo_final \\
+        [coarse_steps=800] [epoch=] [so3=576]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..data import ObservationTensor
+from ..inference import InferenceConfig, PoseEstimator, make_detections
+from ..models.pose_predictor import PosePredictor, PosePredictorConfig
+from ..ops.se3 import add_pose_noise
+from ..training.config import TrainingConfig, make_coarse_cfg, make_refiner_cfg
+from ..training.train import create_train_state, load_checkpoint, synthetic_batch_fn
+from ..utils.logging import get_logger
+from .demo_synthetic_e2e import build_world, pose_errors, train_model
+
+logger = get_logger(__name__)
+
+
+def main(argv=None):
+    args = dict(
+        refiner_dir="/tmp/demo_long", out_dir="demo_final",
+        coarse_steps="800", epoch="", so3="576", n_eval="16",
+        refine_iters="3", backbone="resnet18-spatial", render="240,320",
+        batch_size="32",
+    )
+    for a in sys.argv[1:] if argv is None else argv:
+        k, _, v = a.partition("=")
+        assert k in args, f"unknown arg {k}"
+        args[k] = v
+
+    out_dir = Path(args["out_dir"])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    input_res = tuple(int(x) for x in args["render"].split(","))
+    dtype = "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+    mesh_db = build_world()
+
+    base = TrainingConfig(
+        input_resize=input_res, render_size=input_res,
+        batch_size=int(args["batch_size"]), backbone_str=args["backbone"],
+        compute_dtype=dtype, n_points_loss=256, lr=3e-4, n_epochs_warmup=200,
+        lr_epoch_decay=10**6, epoch_size=int(args["batch_size"]), seed=0,
+    )
+    # Refiner: same config as demo_long_refiner, weights from its checkpoint.
+    ref_cfg = dataclasses.replace(
+        make_refiner_cfg(base), n_rendered_views=2,
+        multiview_type="front_1view", n_iterations=1,
+    )
+    refiner = PosePredictor(PosePredictorConfig(**ref_cfg.model_config_kwargs()))
+    ref_state = create_train_state(
+        ref_cfg, refiner, mesh_db, jax.random.PRNGKey(0), input_res=input_res
+    )
+    epoch = int(args["epoch"]) if args["epoch"] else None
+    ref_state, loaded_epoch = load_checkpoint(
+        args["refiner_dir"], ref_state, epoch=epoch, params_only=True
+    )
+    logger.info(f"loaded refiner checkpoint @ step {loaded_epoch}")
+
+    # Coarse scorer: short training suffices (the view-classification task
+    # converges orders of magnitude faster than rotation regression).
+    coarse_cfg = dataclasses.replace(make_coarse_cfg(base), n_hypotheses=4)
+    coarse, coarse_state, _ = train_model(
+        coarse_cfg, mesh_db, int(args["coarse_steps"]), input_res, "coarse"
+    )
+
+    # ------------------------------------------------------------------
+    n_eval = int(args["n_eval"])
+    eval_batch = jax.jit(
+        synthetic_batch_fn(mesh_db, max(n_eval, 16), input_res, f=400.0)
+    )(jax.random.PRNGKey(9999))
+    meshes = mesh_db.select(eval_batch.mesh_idx)
+    pts = meshes.points[:, :256]
+    n_it = int(args["refine_iters"])
+
+    # (a/b) refiner-only from noised GT.
+    TCO_init = add_pose_noise(
+        jax.random.PRNGKey(7), eval_batch.TCO,
+        euler_deg_std=(15, 15, 15), trans_std=(0.01, 0.01, 0.05),
+    )
+
+    @jax.jit
+    def refine_n(params, TCO):
+        def body(T, _):
+            out = refiner.apply(
+                params, eval_batch.rgbs, eval_batch.K, T, meshes,
+                method=PosePredictor.refine_step,
+            )
+            return out["TCO_output"], None
+
+        return jax.lax.scan(body, TCO, None, length=n_it)[0]
+
+    TCO_ref = refine_n(ref_state.params, TCO_init)
+    add0, rot0, tr0 = pose_errors(TCO_init, eval_batch.TCO, pts)
+    add1, rot1, tr1 = pose_errors(TCO_ref, eval_batch.TCO, pts)
+
+    # (c) full pipeline from GT boxes.
+    est = PoseEstimator(
+        coarse, coarse_state.params, refiner, ref_state.params, mesh_db,
+        InferenceConfig(
+            SO3_grid_size=int(args["so3"]),
+            n_refiner_iterations=n_it,
+            n_pose_hypotheses=4,
+            bsz_images=64,
+            bsz_objects=16,
+            max_detections=1,
+        ),
+    )
+    labels = list(mesh_db.labels)
+    pipe_add, pipe_rot, pipe_tr = [], [], []
+    for i in range(n_eval):
+        obs = ObservationTensor(
+            images=np.asarray(eval_batch.rgbs[i : i + 1]),
+            K=np.asarray(eval_batch.K[i : i + 1]),
+        )
+        det = make_detections(
+            [labels[int(eval_batch.mesh_idx[i])]],
+            np.asarray(eval_batch.bboxes[i : i + 1]),
+        )
+        data, _ = est.run_inference_pipeline(obs, det)
+        a, r, t = pose_errors(
+            data.poses, np.asarray(eval_batch.TCO[i : i + 1]), pts[i : i + 1]
+        )
+        pipe_add.append(float(a[0]))
+        pipe_rot.append(float(r[0]))
+        pipe_tr.append(float(t[0]))
+        logger.info(
+            f"pipeline {i + 1}/{n_eval}: ADD {a[0] * 1000:.1f} mm, "
+            f"rot {r[0]:.1f} deg, trans {t[0] * 1000:.1f} mm"
+        )
+
+    diam = float(np.asarray(mesh_db.diameters).mean())
+    report = {
+        "refiner_checkpoint_step": loaded_epoch,
+        "refine_iters": n_it,
+        "init": {
+            "add_mm": float(np.median(add0) * 1000),
+            "rot_deg": float(np.median(rot0)),
+            "trans_mm": float(np.median(tr0) * 1000),
+        },
+        "refined": {
+            "add_mm": float(np.median(add1) * 1000),
+            "rot_deg": float(np.median(rot1)),
+            "trans_mm": float(np.median(tr1) * 1000),
+            "rot_improved_frac": float((rot1 < rot0).mean()),
+            "add_improved_frac": float((add1 < add0).mean()),
+        },
+        "pipeline": {
+            "add_mm": float(np.median(pipe_add) * 1000),
+            "rot_deg": float(np.median(pipe_rot)),
+            "trans_mm": float(np.median(pipe_tr) * 1000),
+            "add_below_0.1d_frac": float(
+                (np.asarray(pipe_add) < 0.1 * diam).mean()
+            ),
+        },
+        "mean_diameter_m": diam,
+        "so3_grid": int(args["so3"]),
+    }
+    (out_dir / "report.json").write_text(json.dumps(report, indent=2))
+    logger.info(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()
