@@ -277,7 +277,15 @@ def load_checkpoint(
     path = (run_dir / "checkpoints" / f"epoch_{epoch}").absolute()
     ckptr = ocp.StandardCheckpointer()
     if params_only:
-        restored = ckptr.restore(path, {"params": state.params})
+        # The checkpoint also holds opt_state/step; partial-restore just the
+        # weights (pretrain-init must work even when the optimizer tree of
+        # the new run differs from the saved one).
+        restored = ocp.PyTreeCheckpointer().restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item={"params": state.params}, partial_restore=True
+            ),
+        )
         return state.replace(params=restored["params"]), epoch
     try:
         restored = ckptr.restore(

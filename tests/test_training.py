@@ -212,6 +212,17 @@ def test_checkpoint_roundtrip(mesh_db, tmp_path):
         lambda a, b: np.allclose(a, b), state.params, state2.params
     )
     assert all(jax.tree.leaves(chex_equal))
+    # Pretrain-init path: weights only, optimizer/step fresh
+    # (partial-restores from a full params+opt_state+step checkpoint).
+    state3 = create_train_state(
+        cfg, model, mesh_db, jax.random.PRNGKey(11), input_res=INPUT
+    )
+    state3, epoch3 = load_checkpoint(tmp_path, state3, params_only=True)
+    assert epoch3 == 3 and int(state3.step) == 0
+    chex_equal = jax.tree.map(
+        lambda a, b: np.allclose(a, b), state.params, state3.params
+    )
+    assert all(jax.tree.leaves(chex_equal))
 
 
 @pytest.mark.slow
