@@ -1,0 +1,203 @@
+"""Long-schedule coarse-scorer training (resumable segments) + ranking eval.
+
+Counterpart of demo_long_refiner for the coarse view-classifier: the
+round-2 pipeline demo showed the refiner solved (rotation 21°→3.3° from
+noised init) while an 800-step coarse scorer cannot rank SO(3)-grid
+rotations (median selection error 137°). This script trains the
+`coarse_classif_multiview_paper` objective at a proper iteration budget,
+in bounded wall-clock segments (orbax save/resume between invocations, so
+the chip frees up regularly), and evaluates RANKING quality directly:
+score a SO(3) grid of hypotheses per held-out scene and report the
+geodesic error of the top-scored rotation + top-4 hit rate.
+
+Usage (run repeatedly; it resumes from the last checkpoint):
+    python -m megapose6d_tpu.scripts.demo_long_coarse out_dir=/tmp/coarse_long \\
+        max_seconds=1200 [n_steps=30000] [grid=64] [batch_size=32]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.pose_predictor import PosePredictor, PosePredictorConfig
+from ..ops.pose_init import tco_init_from_boxes_autodepth_with_R
+from ..ops.se3 import geodesic_distance
+from ..ops.so3_grid import make_so3_grid
+from ..training.config import TrainingConfig, make_coarse_cfg
+from ..training.train import (
+    create_train_state,
+    load_checkpoint,
+    make_train_step,
+    save_checkpoint,
+    synthetic_batch_fn,
+)
+from ..utils.logging import get_logger
+from .demo_synthetic_e2e import build_world
+
+logger = get_logger(__name__)
+
+
+def main(argv=None):
+    args = dict(
+        out_dir="coarse_long", n_steps="30000", batch_size="32",
+        eval_every="2000", max_seconds="1200", grid="64",
+        backbone="resnet18-spatial", render="240,320", lr="3e-4", seed="0",
+        n_eval="32",
+    )
+    for a in sys.argv[1:] if argv is None else argv:
+        k, _, v = a.partition("=")
+        assert k in args, f"unknown arg {k}"
+        args[k] = v
+
+    out_dir = Path(args["out_dir"])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    input_res = tuple(int(x) for x in args["render"].split(","))
+    n_steps = int(args["n_steps"])
+    eval_every = int(args["eval_every"])
+    max_seconds = float(args["max_seconds"])
+    dtype = "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+
+    mesh_db = build_world()
+    base = TrainingConfig(
+        input_resize=input_res, render_size=input_res,
+        batch_size=int(args["batch_size"]), backbone_str=args["backbone"],
+        compute_dtype=dtype, n_points_loss=256, lr=float(args["lr"]),
+        n_epochs_warmup=200, lr_epoch_decay=10**6,
+        epoch_size=int(args["batch_size"]), seed=int(args["seed"]),
+    )
+    cfg = dataclasses.replace(make_coarse_cfg(base), n_hypotheses=4)
+    model = PosePredictor(PosePredictorConfig(**cfg.model_config_kwargs()))
+    state = create_train_state(
+        cfg, model, mesh_db, jax.random.PRNGKey(cfg.seed), input_res=input_res
+    )
+    start_step = 0
+    if (out_dir / "checkpoints" / "latest.txt").exists():
+        state, start_step = load_checkpoint(out_dir, state)
+        logger.info(f"resumed from step {start_step}")
+
+    step_fn = make_train_step(model, cfg, mesh_db)
+    batch_fn = jax.jit(
+        synthetic_batch_fn(mesh_db, cfg.batch_size, input_res, f=400.0)
+    )
+
+    # ----- ranking eval: grid-score held-out scenes -------------------
+    n_eval = int(args["n_eval"])
+    G = int(args["grid"])
+    eval_batch = jax.jit(
+        synthetic_batch_fn(mesh_db, n_eval, input_res, f=400.0)
+    )(jax.random.PRNGKey(9999))
+    eval_meshes = mesh_db.select(eval_batch.mesh_idx)
+    R_grid = make_so3_grid(G)  # [G, 3, 3]
+
+    def grid_scores(params, i):
+        """Scores [G] for scene i (G hypotheses batched)."""
+        boxes = jnp.broadcast_to(eval_batch.bboxes[i], (G, 4))
+        K = jnp.broadcast_to(eval_batch.K[i], (G, 3, 3))
+        pts = jnp.broadcast_to(
+            eval_meshes.points[i], (G,) + eval_meshes.points.shape[1:]
+        )
+        TCO = tco_init_from_boxes_autodepth_with_R(boxes, pts, K, R_grid)
+        imgs = jnp.broadcast_to(
+            eval_batch.rgbs[i], (G,) + eval_batch.rgbs.shape[1:]
+        )
+        meshes_g = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[i], (G,) + a.shape[1:]), eval_meshes
+        )
+        out = model.apply(
+            params, imgs, K, TCO, meshes_g, method=PosePredictor.score_views
+        )
+        return out["logits"][:, 0]
+
+    grid_scores_j = jax.jit(grid_scores)
+    history_path = out_dir / "history.json"
+    history = (
+        json.loads(history_path.read_text()) if history_path.exists() else []
+    )
+
+    def run_eval(step):
+        top1_err, top4_hit = [], []
+        for i in range(n_eval):
+            s = np.asarray(grid_scores_j(state.params, i))
+            R_gt = np.asarray(eval_batch.TCO[i, :3, :3])
+            errs = np.degrees(
+                np.asarray(
+                    geodesic_distance(
+                        jnp.asarray(R_grid), jnp.asarray(R_gt)[None]
+                    )
+                )
+            )
+            order = np.argsort(-s)
+            top1_err.append(float(errs[order[0]]))
+            best_reachable = errs.min()
+            top4_hit.append(
+                float(errs[order[:4]].min() <= best_reachable + 15.0)
+            )
+        rec = {
+            "step": step,
+            "grid": G,
+            "top1_rot_err_deg_median": float(np.median(top1_err)),
+            "top4_within_15deg_of_best_frac": float(np.mean(top4_hit)),
+            "grid_best_reachable_deg_median": float(
+                np.median(
+                    [
+                        float(
+                            np.degrees(
+                                np.asarray(
+                                    geodesic_distance(
+                                        jnp.asarray(R_grid),
+                                        jnp.asarray(
+                                            eval_batch.TCO[i, :3, :3]
+                                        )[None],
+                                    )
+                                )
+                            ).min()
+                        )
+                        for i in range(n_eval)
+                    ]
+                )
+            ),
+        }
+        history.append(rec)
+        history_path.write_text(json.dumps(history, indent=1))
+        logger.info(
+            f"[eval @ {step}] top1 rot err {rec['top1_rot_err_deg_median']:.1f} deg "
+            f"(grid floor {rec['grid_best_reachable_deg_median']:.1f}) | "
+            f"top4 near-best {rec['top4_within_15deg_of_best_frac']:.0%}"
+        )
+        return rec
+
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), start_step)
+    t0 = time.monotonic()
+    i = start_step
+    while i < n_steps and (time.monotonic() - t0) < max_seconds:
+        key, k1, k2 = jax.random.split(key, 3)
+        state, metrics = step_fn(state, batch_fn(k1), k2, cfg.n_iterations)
+        i += 1
+        if i % 500 == 0 or i == start_step + 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.info(
+                f"step {i}/{n_steps} bce="
+                f"{m.get('loss_renderings_confidence', -1):.4f} "
+                f"acc={m.get('views_accuracy', -1):.3f} "
+                f"({(time.monotonic() - t0) / (i - start_step):.2f}s/step)"
+            )
+        if i % eval_every == 0:
+            run_eval(i)
+            save_checkpoint(out_dir, state, i)
+
+    save_checkpoint(out_dir, state, i)
+    rec = run_eval(i)
+    logger.info(f"segment done at step {i}: {json.dumps(rec)}")
+    return rec
+
+
+if __name__ == "__main__":
+    main()
