@@ -23,11 +23,16 @@ from .types import CameraData, ObjectData
 def _imread(path: Path) -> np.ndarray:
     from .. import native
 
-    if native.available():
-        return native.decode_image(Path(path).read_bytes())
+    data = Path(path).read_bytes()
+    # The C++ decoder handles PNG/JPEG only; BOP itodd ships .tif grays —
+    # sniff magic bytes and keep PIL for everything else.
+    if native.available() and native.supports(data):
+        return native.decode_image(data)
+    import io
+
     from PIL import Image
 
-    return np.asarray(Image.open(path))
+    return np.asarray(Image.open(io.BytesIO(data)))
 
 
 class BOPDataset(SceneDataset):

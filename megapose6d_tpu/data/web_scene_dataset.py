@@ -38,10 +38,11 @@ def _png_bytes(arr: np.ndarray) -> bytes:
 
 def _png_read(data: bytes) -> np.ndarray:
     # Native libpng/libjpeg decoder (C++ thread pool, megapose6d_tpu.native)
-    # when the toolchain is present; PIL otherwise.
+    # when the toolchain is present and the payload is PNG/JPEG; PIL
+    # otherwise (magic-byte sniff, same guard as bop_scene_dataset._imread).
     from .. import native
 
-    if native.available():
+    if native.available() and native.supports(data):
         return native.decode_image(data)
     from PIL import Image
 

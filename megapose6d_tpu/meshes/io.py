@@ -245,6 +245,13 @@ def _triangulate(polys: list[np.ndarray]) -> np.ndarray:
 # OBJ (+ texture baking to vertex colors)
 # ---------------------------------------------------------------------------
 
+def _wrap_unit(u: np.ndarray) -> np.ndarray:
+    """Wrap texture coordinates into [0,1], preserving values already in
+    range (u=1.0 stays 1.0 — `% 1.0` would send it to 0.0)."""
+    u = np.asarray(u, np.float64)
+    return np.where((u >= 0.0) & (u <= 1.0), u, u - np.floor(u))
+
+
 def load_obj(path: str | Path, bake_texture: bool = True) -> TriMesh:
     """Parse Wavefront OBJ. Texture (first map_Kd of the .mtl) is baked to
     per-vertex colors — our rasterizer interpolates vertex attributes, which
@@ -308,10 +315,13 @@ def load_obj(path: str | Path, bake_texture: bool = True) -> TriMesh:
             uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
             verts = verts[uniq[:, 0]]
             uv = uvs_raw[uniq[:, 1]]
-            # OBJ v is GL convention (v up); flip to image rows.
-            vertex_uvs = np.stack(
-                [uv[:, 0] % 1.0, (1.0 - uv[:, 1]) % 1.0], axis=-1
-            ).astype(np.float32)
+            # OBJ v is GL convention (v up); flip to image rows. Wrap only
+            # coordinates strictly outside [0,1]: `% 1.0` would map u=1.0
+            # to 0.0 and GL v=0 to image-v 0.0, collapsing full-range UVs
+            # to a single texel under the clamping bilinear sampler.
+            u = _wrap_unit(uv[:, 0])
+            v = _wrap_unit(uv[:, 1])
+            vertex_uvs = np.stack([u, 1.0 - v], axis=-1).astype(np.float32)
             faces = inv.reshape(-1, 3)
             texture_u8 = (np.clip(tex, 0, 1) * 255).astype(np.uint8)
 

@@ -59,11 +59,16 @@ class RigidObject:
     def scale(self) -> float:
         return {"m": 1.0, "mm": 0.001}[self.mesh_units] * self.scaling_factor
 
-    def load(self) -> TriMesh:
+    def load(self, bake_texture: bool = True) -> TriMesh:
         mesh = self.mesh
         if mesh is None:
             assert self.mesh_path is not None, self.label
-            mesh = load_mesh(self.mesh_path)
+            kw = {}
+            if Path(self.mesh_path).suffix.lower() == ".obj":
+                # Keep per-pixel textures when the consumer asks for them
+                # (load_obj otherwise bakes map_Kd to vertex colors).
+                kw["bake_texture"] = bake_texture
+            mesh = load_mesh(self.mesh_path, **kw)
         mesh = mesh.scaled(self.scale).with_computed_normals()
         if mesh.vertex_colors is None:
             mesh = dataclasses.replace(
@@ -268,7 +273,7 @@ class MeshDataBase:
         self.meshes: dict[str, TriMesh] = {}
         self._sym_poses: dict[str, np.ndarray] = {}
         for obj in objects.objects:
-            mesh = obj.load()
+            mesh = obj.load(bake_texture=not keep_textures)
             if not keep_textures:
                 mesh = bake_texture_to_colors(mesh)
             if mesh.n_faces > max_faces:

@@ -45,6 +45,10 @@ def split_labels(
     the reference's "rank trains a subset" — duplicates are never sampled
     because the sampler draws from the unpadded label lists)."""
     labels = list(labels)
+    assert len(labels) >= n_shards, (
+        f"split_labels: {len(labels)} labels cannot fill {n_shards} shards "
+        "(np.array_split would yield empty shards)"
+    )
     rng = np.random.RandomState(seed)
     perm = rng.permutation(len(labels))
     parts = np.array_split(perm, n_shards)

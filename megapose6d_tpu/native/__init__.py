@@ -104,6 +104,17 @@ def available() -> bool:
     return _load() is not None
 
 
+def supports(data: bytes) -> bool:
+    """True when `data` is a format the C++ decoder handles (PNG/JPEG).
+
+    BOP datasets also ship .tif grays (itodd) and other formats; callers
+    sniff the magic bytes and route those through PIL instead of getting
+    a ValueError from mp_image_info.
+    """
+    head = bytes(data[:4])
+    return head.startswith(b"\x89PNG") or head.startswith(b"\xff\xd8\xff")
+
+
 def _as_u8p(buf) -> ctypes.POINTER(ctypes.c_ubyte):
     return ctypes.cast(
         ctypes.c_char_p(bytes(buf)), ctypes.POINTER(ctypes.c_ubyte)

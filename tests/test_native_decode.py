@@ -122,3 +122,32 @@ def test_throughput_vs_pil(rng):
         np.asarray(Image.open(io.BytesIO(d)))
     t_pil = time.monotonic() - t0
     assert t_native < t_pil * 1.5, (t_native, t_pil)
+
+
+def test_supports_sniffs_magic_bytes(rng):
+    """PNG/JPEG are routed to the C++ decoder; anything else (e.g. BOP
+    itodd .tif grays) must fall back to PIL instead of erroring."""
+    arr = rng.randint(0, 255, (8, 8, 3)).astype(np.uint8)
+    assert native.supports(_png_bytes(arr))
+    assert native.supports(_jpeg_bytes(arr))
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr[..., 0]).save(buf, format="TIFF")
+    tif = buf.getvalue()
+    assert not native.supports(tif)
+    assert not native.supports(b"")
+
+
+def test_imread_tif_fallback(rng, tmp_path):
+    """bop_scene_dataset._imread decodes .tif via PIL even when the native
+    decoder is present (itodd gray images, reference bop_scene_dataset.py:90)."""
+    from PIL import Image
+
+    from megapose6d_tpu.data.bop_scene_dataset import _imread
+
+    arr = rng.randint(0, 255, (12, 16)).astype(np.uint8)
+    p = tmp_path / "gray.tif"
+    Image.fromarray(arr).save(p, format="TIFF")
+    np.testing.assert_array_equal(_imread(p), arr)

@@ -165,6 +165,15 @@ def test_obj_roundtrip_keeps_uvs(tmp_path):
     assert mesh.vertex_uvs is not None
     assert mesh.vertex_uvs.shape[0] == mesh.n_vertices
     assert mesh.faces.shape == (2, 3)
+    # Full-range UVs survive: u=1.0 must NOT wrap to 0.0, and GL v=0 maps
+    # to image v=1.0 (the round-2 `% 1.0` bug collapsed all four corners
+    # to (0,0)). Vertices are unique (v,vt) pairs sorted by (v_idx,vt_idx):
+    # v1/vt(0,0) -> img (0,1); v2/vt(1,0) -> (1,1); v3/vt(1,1) -> (1,0);
+    # v4/vt(0,1) -> (0,0).
+    expected = np.array(
+        [[0.0, 1.0], [1.0, 1.0], [1.0, 0.0], [0.0, 0.0]], np.float32
+    )
+    np.testing.assert_allclose(mesh.vertex_uvs, expected, atol=1e-6)
     # Baked path still works too.
     baked = load_obj(tmp_path / "q.obj", bake_texture=True)
     assert baked.vertex_colors is not None and baked.texture is None
