@@ -8,18 +8,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
-# The 8 corner sign patterns of an axis-aligned box.
-_CORNER_SIGNS = jnp.asarray(
+# The 8 corner sign patterns of an axis-aligned box. numpy, not jnp: a
+# module-scope device array would initialize the XLA backend at import
+# time (breaking jax.distributed.initialize ordering).
+_CORNER_SIGNS = np.asarray(
     [
         [sx, sy, sz]
         for sx in (-1.0, 1.0)
         for sy in (-1.0, 1.0)
         for sz in (-1.0, 1.0)
     ],
-    jnp.float32,
+    np.float32,
 )
 
 

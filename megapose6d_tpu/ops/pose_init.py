@@ -19,8 +19,12 @@ Array = jax.Array
 
 # Canonical "z-up" seed orientation used by the BOP20-challenge initializers
 # (cosypose_ops.py:190-196): object z-axis up, camera looking at it.
-_ZUP_R = jnp.asarray(
-    [[0.0, 1.0, 0.0], [0.0, 0.0, -1.0], [-1.0, 0.0, 0.0]], jnp.float32
+# numpy, not jnp: a module-scope device array would initialize the XLA
+# backend at import time (breaking jax.distributed.initialize ordering).
+import numpy as _np
+
+_ZUP_R = _np.asarray(
+    [[0.0, 1.0, 0.0], [0.0, 0.0, -1.0], [-1.0, 0.0, 0.0]], _np.float32
 )
 
 

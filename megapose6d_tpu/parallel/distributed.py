@@ -26,11 +26,22 @@ def init_distributed_mode() -> tuple[int, int]:
     """Initialize multi-process JAX from standard cluster env vars.
 
     Returns (process_index, process_count). Single-process if no
-    coordinator is configured.
+    coordinator is configured. When `COORDINATOR_ADDRESS` is set,
+    `WORLD_SIZE`/`RANK` (the reference's torchrun-style vars,
+    utils/distributed.py:48-77) are forwarded explicitly if present;
+    otherwise JAX's cluster auto-detection (SLURM/OMPI) takes over.
     """
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS"):
+    addr = os.environ.get("COORDINATOR_ADDRESS")
+    if addr and "WORLD_SIZE" in os.environ:
+        # Must run before any JAX backend touch (jax.devices() etc.).
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["WORLD_SIZE"]),
+            process_id=int(os.environ["RANK"]),
+        )
+    elif addr:
         jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 
@@ -106,8 +117,11 @@ def gather_collections(
         n_p = int(counts[p])
         if n_p == 0:
             continue
+        import io
+
         infos_p = pd.read_json(
-            bytes(infos_all[p, : sizes[p]]).decode(), orient="records"
+            io.StringIO(bytes(infos_all[p, : sizes[p]]).decode()),
+            orient="records",
         )
         tensors_p = {k: v[p, :n_p] for k, v in parts.items()}
         collections.append(PandasTensorCollection(infos_p, **tensors_p))

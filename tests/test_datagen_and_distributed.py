@@ -152,3 +152,60 @@ def test_generate_sharded_ranks_and_resume(tmp_path):
     mt = {p.name: p.stat().st_mtime_ns for p in s0}
     s0b = generate(mesh_db, tmp_path / "multi", rank=0, world_size=2, **kw)
     assert {p.name: p.stat().st_mtime_ns for p in s0b} == mt
+
+
+def test_two_process_distributed(tmp_path):
+    """Real world_size=2 run of the distributed layer (VERDICT r2 item 5).
+
+    Spawns two OS processes coordinated by jax.distributed (Gloo CPU
+    collectives) and checks the gathered predictions equal the
+    single-process answer. Reference analog:
+    utils/distributed.py:48-154 + scripts/test_distributed.py:38-51.
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:  # free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    out = tmp_path / "gathered.json"
+    worker = Path(__file__).parent / "distributed_worker.py"
+    env_base = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = []
+    for rank in range(2):
+        env = dict(
+            env_base,
+            COORDINATOR_ADDRESS=f"localhost:{port}",
+            WORLD_SIZE="2",
+            RANK=str(rank),
+            PYTHONPATH=str(Path(__file__).parent.parent),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker), str(out)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    logs = [p.communicate(timeout=180)[0] for p in procs]
+    for rank, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{log}"
+        assert f"rank {rank}/2 OK" in log
+
+    rec = json.loads(out.read_text())
+    # Gathered = all 7 frames in rank order == frame order (np.array_split).
+    assert rec["world"] == 2
+    assert rec["frame_ids"] == list(range(7))
+    assert rec["labels"] == [f"obj_{i}" for i in range(7)]
+    np.testing.assert_allclose(rec["scores"], np.arange(7) / 10.0, atol=1e-7)
+    np.testing.assert_allclose(rec["pose_diag0"], np.arange(1.0, 8.0))
