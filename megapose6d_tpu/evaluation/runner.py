@@ -34,26 +34,43 @@ class PredictionRunner:
         rank: int = 0,
         world_size: int = 1,
         n_frames: int | None = None,
+        detector=None,
+        detection_type: str = "gt",
     ):
         self.scene_ds = scene_ds
         self.estimator = estimator
+        self.detector = detector
+        self.detection_type = detection_type
+        if detection_type == "detector":
+            assert detector is not None, "detector required"
         ids = shard_frames(len(scene_ds), rank, world_size)
         if n_frames is not None:
             ids = ids[:n_frames]
         self.frame_ids = ids
 
+    def get_detections(self, obs: SceneObservation, observation):
+        """GT detections (prediction_runner.py:96-98 via
+        SceneObservation.as_pandas_tensor_collection) or detector boxes
+        (prediction_runner.py:99-107 -> Detector.get_detections)."""
+        if self.detection_type == "gt":
+            gt_objects = obs.gt_detections()
+            if not gt_objects:
+                return None
+            labels = [o.label for o in gt_objects]
+            bboxes = np.stack([o.bbox_modal for o in gt_objects])
+            return make_detections(labels, bboxes)
+        detections = self.detector.get_detections(observation)
+        return detections if len(detections) else None
+
     def run_inference_on_observation(
         self, obs: SceneObservation
-    ) -> tuple[PandasTensorCollection, dict]:
-        """GT-detections mode (detection_type='gt',
-        prediction_runner.py:96-118)."""
-        gt_objects = obs.gt_detections()
-        labels = [o.label for o in gt_objects]
-        bboxes = np.stack([o.bbox_modal for o in gt_objects])
-        detections = make_detections(labels, bboxes)
+    ) -> tuple[PandasTensorCollection, dict] | None:
         observation = ObservationTensor.from_numpy(
             obs.rgb, obs.depth, obs.camera_data.K
         )
+        detections = self.get_detections(obs, observation)
+        if detections is None:
+            return None
         return self.estimator.run_inference_pipeline(observation, detections)
 
     def get_predictions(self) -> dict[str, PandasTensorCollection]:
@@ -68,10 +85,11 @@ class PredictionRunner:
 
         for frame_id in self.frame_ids:
             obs = self.scene_ds[int(frame_id)]
-            if not obs.gt_detections():
-                continue
             t0 = time.monotonic()
-            data, extra = self.run_inference_on_observation(obs)
+            result = self.run_inference_on_observation(obs)
+            if result is None:
+                continue
+            data, extra = result
             elapsed = time.monotonic() - t0
             data.infos["scene_id"] = int(obs.infos.scene_id)
             data.infos["view_id"] = int(obs.infos.view_id)

@@ -12,6 +12,7 @@ Usage:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -155,6 +156,11 @@ def main(argv=None):
     run_dir = Path(args["run_dir"]) / args["run_id"]
     run_dir.mkdir(parents=True, exist_ok=True)
     (run_dir / "labels.json").write_text(json.dumps(list(mesh_db.labels)))
+    # Persist the model config so eval can rebuild the detector
+    # (load_detector in evaluation/evaluation.py).
+    (run_dir / "config.json").write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=2)
+    )
 
     key = jax.random.PRNGKey(int(args["seed"]))
     t0 = time.monotonic()

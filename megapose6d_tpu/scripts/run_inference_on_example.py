@@ -174,6 +174,28 @@ def run_inference(args) -> None:
     object_data_to_json_path(out, out_path)
     logger.info(f"wrote {out_path}")
 
+    if args.vis_outputs:
+        # Interactive 3D viewer export (the reference's meshcat in-depth
+        # analysis workflow, visualization/meshcat_visualizer.py:79-99).
+        from ..visualization.scene_viewer import SceneViewer
+
+        def mesh_for_label(label):
+            i = int(mesh_db.label_to_index([label])[0])
+            valid = np.asarray(mesh_db.face_valid[i])
+            return (
+                np.asarray(mesh_db.vertices[i]),
+                np.asarray(mesh_db.faces[i])[valid],
+                np.asarray(mesh_db.colors[i]),
+            )
+
+        viewer = SceneViewer(title=f"{example_dir.name} estimates")
+        K = np.asarray(observation.K)[0]
+        h, w = observation.images.shape[1:3]
+        viewer.add_camera("camera", K, (h, w), TWC=np.eye(4))
+        viewer.add_pose_estimates(data, mesh_for_label)
+        html = viewer.write_html(example_dir / "outputs" / "scene.html")
+        logger.info(f"wrote {html}")
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
@@ -186,6 +208,11 @@ def main(argv=None):
     parser.add_argument("--n-refiner-iterations", type=int, default=5)
     parser.add_argument("--n-pose-hypotheses", type=int, default=5)
     parser.add_argument("--bsz-images", type=int, default=64)
+    parser.add_argument(
+        "--vis-outputs",
+        action="store_true",
+        help="write outputs/scene.html interactive 3D viewer",
+    )
     args = parser.parse_args(argv)
     if args.run_inference:
         run_inference(args)

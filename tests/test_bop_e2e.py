@@ -74,7 +74,8 @@ def test_bop_writer_reader_roundtrip(bop_ds_dir):
 @pytest.mark.slow
 def test_run_eval_end_to_end(bop_ds_dir, tmp_path, monkeypatch):
     """The full CLI path on the generated dataset, random-weight models
-    (contract-level: CSV + summary written, AR keys present)."""
+    (contract-level: CSV + summary written, AR keys present). Exercises
+    the legacy round-2 CLI aliases on the structured-config driver."""
     monkeypatch.setattr(mp_config, "BOP_DS_DIR", bop_ds_dir)
     from megapose6d_tpu.scripts import run_eval
 
@@ -93,6 +94,8 @@ def test_run_eval_end_to_end(bop_ds_dir, tmp_path, monkeypatch):
             "load_depth=1",
         ]
     )
+    # Reference save-dir layout: <save_dir>/<ds_name>/<detection>+<coarse>
+    out = out / "synth.bop19" / "gt+SO3_grid"
     rows = load_bop_results(out / "synth.csv")
     assert len(rows) >= 2
     for r in rows:
@@ -111,3 +114,86 @@ def test_run_eval_end_to_end(bop_ds_dir, tmp_path, monkeypatch):
     assert "AR" in bop  # BOP19 AR triple average
     saved = json.loads((out / "summary.json").read_text())
     assert saved.keys() == summary.keys()
+    # Stage-keyed predictions persisted and loadable (results.pth.tar
+    # analog, reference evaluation.py:208-222).
+    from megapose6d_tpu.evaluation.evaluation import load_predictions
+
+    preds = load_predictions(out / "results.npz")
+    assert "final" in preds and len(preds["final"]) >= 2
+    assert "refiner/iteration=1" in preds
+    assert preds["final"].poses.shape[-2:] == (4, 4)
+
+
+def test_eval_config_overrides_and_save_key():
+    """Structured eval configs (reference eval_config.py:42-105) +
+    dotlist overrides + save-key naming."""
+    import dataclasses
+
+    from megapose6d_tpu.evaluation.eval_config import (
+        EvalConfig,
+        FullEvalConfig,
+        apply_eval_overrides,
+        generate_save_key,
+        get_save_dir,
+    )
+
+    cfg = apply_eval_overrides(
+        FullEvalConfig(),
+        [
+            "ds_names=synth.bop19,ycbv.bop19",
+            "detection_coarse_types=gt:SO3_grid,detector:SO3_grid",
+            "save_dir=/tmp/x",
+            "inference.SO3_grid_size=72",
+            "inference.detection_type=detector",
+            "hardware.n_chips=4",
+            "n_frames=3",
+            "render_size=48,64",
+        ],
+    )
+    assert cfg.ds_names == ["synth.bop19", "ycbv.bop19"]
+    assert cfg.detection_coarse_types == [
+        ("gt", "SO3_grid"),
+        ("detector", "SO3_grid"),
+    ]
+    assert cfg.inference.SO3_grid_size == 72
+    assert cfg.hardware.n_chips == 4
+    assert cfg.n_frames == 3
+    assert cfg.render_size == (48, 64)
+    assert generate_save_key("gt", "SO3_grid") == "gt+SO3_grid"
+    ecfg = dataclasses.replace(
+        EvalConfig(), save_dir="/tmp/x", ds_name="ycbv.bop19"
+    )
+    assert str(get_save_dir(ecfg)).endswith("/tmp/x/ycbv.bop19/gt+SO3_grid")
+
+
+@pytest.mark.slow
+def test_run_full_eval_sweep(bop_ds_dir, tmp_path, monkeypatch):
+    """The dataset x (detection, coarse) sweep driver writes
+    reference-shaped per-config dirs + all_summaries.json
+    (run_full_megapose_eval.py:112-188)."""
+    monkeypatch.setattr(mp_config, "BOP_DS_DIR", bop_ds_dir)
+    from megapose6d_tpu.scripts import run_full_eval
+
+    out = tmp_path / "sweep"
+    summaries = run_full_eval.main(
+        [
+            "ds_names=synth.bop19",
+            f"save_dir={out}",
+            "detection_coarse_types=gt:SO3_grid",
+            "n_frames=1",
+            "inference.SO3_grid_size=8",
+            "inference.n_refiner_iterations=1",
+            "inference.n_pose_hypotheses=1",
+            "inference.max_detections=2",
+            "render_size=48,64",
+            "max_faces=256",
+        ]
+    )
+    assert "synth.bop19/gt+SO3_grid" in summaries
+    cfg_dir = out / "synth.bop19" / "gt+SO3_grid"
+    assert (cfg_dir / "results.npz").exists()
+    assert (cfg_dir / "synth.csv").exists()
+    assert (cfg_dir / "eval_config.json").exists()
+    assert json.loads(
+        (out / "all_summaries.json").read_text()
+    ).keys() == summaries.keys()
