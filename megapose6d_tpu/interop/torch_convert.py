@@ -19,6 +19,14 @@ weight-compatible flax modules (`models/backbones.py:ZooWideResNet` +
 Conv kernels transpose OIHW -> HWIO; Linear weights transpose [out, in] ->
 [in, out]. Old checkpoints go through `change_keys_of_older_models` first
 (reference utils/models_compat.py:17-27 semantics).
+
+CAVEAT (unproven against the real zoo): this environment has no network
+egress, so the mapping is round-trip tested against a torch WideResNet34
+reconstructed from the reference source (tests/test_torch_interop.py),
+NOT against the released checkpoint files themselves. If a released
+state_dict carries keys outside the mapped set, `convert_state_dict`
+raises with the full unmatched-key list rather than silently dropping
+them — run it once on the real files before relying on parity.
 """
 
 from __future__ import annotations

@@ -192,21 +192,30 @@ class ZooBasicBlockV2(nn.Module):
     """Pre-activation block matching the reference zoo checkpoints
     (wide_resnet.py:BasicBlockV2:29-56): BN -> relu -> conv3x3 -> BN ->
     relu -> conv3x3, residual taken from the PRE-ACTIVATED input through a
-    norm-free 1x1 conv when shape changes. Inference-only BatchNorm
-    (running stats come from the converted torch checkpoint)."""
+    norm-free 1x1 conv when shape changes. BatchNorm runs from the
+    converted checkpoint's running stats at inference (`train=False`,
+    the default) and updates batch statistics when `train=True` (the
+    reference fine-tunes these BN backbones with torch SyncBN,
+    train_megapose.py:243-244; on TPU the batch axis is data-parallel
+    sharded, so `axis_name='dp'` cross-replica BN is the SyncBN analog
+    when applied under pjit/shard_map)."""
 
     features: int
     strides: int = 1
     dtype: Dtype = jnp.float32
+    train: bool = False
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
-        out = nn.relu(
-            nn.BatchNorm(
-                use_running_average=True, dtype=self.dtype,
-                param_dtype=jnp.float32, name="bn1",
-            )(x)
-        )
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not self.train, dtype=self.dtype,
+                param_dtype=jnp.float32, name=name,
+                axis_name=self.bn_axis_name if self.train else None,
+            )
+
+        out = nn.relu(bn("bn1")(x))
         if self.strides != 1 or x.shape[-1] != self.features:
             residual = nn.Conv(
                 self.features, (1, 1), strides=self.strides, use_bias=False,
@@ -219,12 +228,7 @@ class ZooBasicBlockV2(nn.Module):
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name="conv1",
         )(out)
-        out = nn.relu(
-            nn.BatchNorm(
-                use_running_average=True, dtype=self.dtype,
-                param_dtype=jnp.float32, name="bn2",
-            )(out)
-        )
+        out = nn.relu(bn("bn2")(out))
         out = nn.Conv(
             self.features, (3, 3), padding=1, use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32, name="conv2",
@@ -243,6 +247,8 @@ class ZooWideResNet(nn.Module):
     width: int = 64
     n_features: int = 512
     dtype: Dtype = jnp.float32
+    train: bool = False
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -253,8 +259,9 @@ class ZooWideResNet(nn.Module):
         )(x)
         x = nn.relu(
             nn.BatchNorm(
-                use_running_average=True, dtype=self.dtype,
+                use_running_average=not self.train, dtype=self.dtype,
                 param_dtype=jnp.float32, name="bn1",
+                axis_name=self.bn_axis_name if self.train else None,
             )(x)
         )
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -264,6 +271,7 @@ class ZooWideResNet(nn.Module):
                 strides = 2 if (i > 0 and b == 0) else 1
                 x = ZooBasicBlockV2(
                     features, strides, self.dtype,
+                    train=self.train, bn_axis_name=self.bn_axis_name,
                     name=f"layer{i + 1}_{b}",
                 )(x)
         x = jnp.mean(x, axis=(1, 2))  # [B, 512]
@@ -299,4 +307,15 @@ def make_backbone(name: str, n_features: int = 512, dtype=jnp.float32):
         return ZooWideResNet((3, 4, 6, 3), n_features=n_features, dtype=dtype)
     if name == "zoo_resnet18":
         return ZooWideResNet((2, 2, 2, 2), n_features=n_features, dtype=dtype)
+    if name == "zoo_resnet34-train":
+        # Fine-tunable variant: BN batch_stats become mutable
+        # (apply(..., mutable=['batch_stats'])); the reference's SyncBN
+        # fine-tuning path (train_megapose.py:243-244).
+        return ZooWideResNet(
+            (3, 4, 6, 3), n_features=n_features, dtype=dtype, train=True
+        )
+    if name == "zoo_resnet18-train":
+        return ZooWideResNet(
+            (2, 2, 2, 2), n_features=n_features, dtype=dtype, train=True
+        )
     raise ValueError(f"unknown backbone: {name}")

@@ -165,3 +165,62 @@ def test_old_key_shim():
         "views_logits_head.weight": 2,
         "pose_fc.bias": 3,
     }
+
+
+def test_zoo_backbone_trainable_bn_overfit():
+    """zoo backbone train-mode: BN batch_stats update under
+    mutable=['batch_stats'] and a few SGD steps overfit a tiny batch
+    (the reference fine-tunes these BN backbones with SyncBN,
+    train_megapose.py:243-244)."""
+    import optax
+
+    from megapose6d_tpu.models.backbones import make_backbone
+
+    model = make_backbone("zoo_resnet18-train", n_features=512)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 32, 32, 9))
+    y = jax.random.normal(jax.random.PRNGKey(1), (4, 512)) * 0.1
+    variables = model.init(rng, x)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        def loss_fn(p):
+            out, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x,
+                mutable=["batch_stats"],
+            )
+            return jnp.mean((out - y) ** 2), updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return (
+            optax.apply_updates(params, updates),
+            new_stats,
+            opt_state,
+            loss,
+        )
+
+    losses = []
+    for _ in range(30):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state
+        )
+        losses.append(float(loss))
+
+    # BN running stats moved away from init (mean 0 / var 1).
+    leaf = batch_stats["bn1"]["mean"]
+    assert float(jnp.abs(leaf).max()) > 1e-4
+    assert losses[-1] < 0.5 * losses[0], losses[:: len(losses) // 5]
+
+    # Inference-mode apply (train=False path) consumes the updated stats
+    # without mutation.
+    infer = make_backbone("zoo_resnet18", n_features=512)
+    out = infer.apply({"params": params, "batch_stats": batch_stats}, x)
+    assert out.shape == (4, 512) and bool(jnp.isfinite(out).all())
