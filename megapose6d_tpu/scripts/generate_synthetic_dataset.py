@@ -29,7 +29,8 @@ from ..data.types import CameraData, ObjectData
 from ..data.web_scene_dataset import write_scene_ds_as_wds
 from ..meshes.mesh_db import MeshDataBase
 from ..ops import rasterizer_tiled
-from ..ops.se3 import make_se3, rotmat_from_quat
+from ..ops.camera import look_at_R
+from ..ops.se3 import invert_se3, make_se3, rotmat_from_quat
 from ..ops.so3_grid import super_fibonacci_quats
 from ..utils.logging import get_logger
 
@@ -52,11 +53,38 @@ def _random_background(key, resolution):
     return jnp.clip(bg * gain, 0.0, 1.0)
 
 
+def _env_sample(c0, c1, n):
+    """Degree-1 spherical-harmonic-style environment lighting: color =
+    c0 + n @ c1, clipped. `n` is an eye-space normal [..., 3]."""
+    return jnp.clip(
+        c0 + jnp.einsum("...j,jc->...c", n, c1), 0.0, 2.0
+    )
+
+
 def make_scene_renderer(
-    mesh_db, n_obj: int, resolution, f: float, background: bool = True
+    mesh_db,
+    n_obj: int,
+    resolution,
+    f: float,
+    background: bool = True,
+    shadows: bool = True,
+    ibl: bool = True,
 ):
-    """Jitted multi-object scene render: per-object renders + z-composite
-    over a procedural background.
+    """Jitted multi-object scene render: per-object renders + deferred
+    z-composite shading over a procedural background.
+
+    Realism model (narrowing the gap to the reference's BlenderProc
+    ray-traced GI, generate_shapenet_pbr.py:768-840, without a path
+    tracer):
+      - `shadows=True`: a second rasterizer pass from a randomly-placed
+        point light builds a shadow map (min-depth composite over
+        objects); the main view's pixels (foreground AND the background
+        plane) are reprojected into light space and depth-tested, so
+        objects cast shadows on each other and on the backdrop.
+      - `ibl=True`: ambient light becomes a low-order directional
+        environment tied to the background palette (degree-1 SH sampled
+        by eye-space normal), coupling object tint to the scene the way
+        GI bleeds background color onto objects.
 
     Returns fn(key) -> (rgb [H,W,3], depth, seg [H,W] i32, TCO [n_obj,4,4],
     mesh_idx [n_obj], K [3,3], visib [n_obj])."""
@@ -75,8 +103,26 @@ def make_scene_renderer(
     ):
         tex_kw = dict(textured=True)
 
+    # Pixel-center rays for deferred shading / shadow reprojection.
+    uu, vv = jnp.meshgrid(
+        jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32)
+    )
+    rays = jnp.stack(
+        [(uu - K1[0, 2]) / K1[0, 0], (vv - K1[1, 2]) / K1[1, 1]], -1
+    )  # [H, W, 2]; X_c = depth * (rays, 1)
+    f_light = 1.1 * max(H, W)
+    K_light = jnp.asarray(
+        [
+            [f_light, 0.0, W / 2 - 0.5],
+            [0.0, f_light, H / 2 - 0.5],
+            [0.0, 0.0, 1.0],
+        ],
+        jnp.float32,
+    )
+    z_bg = 1.45  # background plane depth (behind the farthest object)
+
     def fn(key):
-        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+        k1, k2, k3, k4, k5, k6, k7, k8, k9 = jax.random.split(key, 9)
         L = mesh_db.n_labels
         mesh_idx = jax.random.randint(k1, (n_obj,), 0, L)
         q = quat_pool[jax.random.randint(k2, (n_obj,), 0, len(quat_pool))]
@@ -86,8 +132,8 @@ def make_scene_renderer(
         TCO = make_se3(R, jnp.concatenate([xy * z, z], -1))
         meshes = mesh_db.select(mesh_idx)
         K = jnp.broadcast_to(K1, (n_obj, 3, 3))
-        amb = jax.random.uniform(k5, (n_obj,), minval=0.6, maxval=1.0)
-        pnt = jax.random.uniform(k6, (n_obj,), minval=0.1, maxval=0.4)
+        amb = jax.random.uniform(k5, (), minval=0.5, maxval=0.9)
+        pnt = jax.random.uniform(k6, (), minval=0.25, maxval=0.65)
         mesh_tex_kw = (
             dict(
                 uvs=meshes.uvs,
@@ -97,11 +143,14 @@ def make_scene_renderer(
             if tex_kw
             else {}
         )
+        interpret = jax.default_backend() == "cpu"
+        # Main pass: unlit albedo (ambient=1, point=0) + normals + depth;
+        # lighting is applied in the deferred composite below.
         out = rasterizer_tiled.render_meshes_tiled(
             meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
             meshes.face_valid, TCO, K, (H, W),
-            light_ambient=amb, light_point=pnt,
-            interpret=jax.default_backend() == "cpu",
+            light_ambient=1.0, light_point=0.0,
+            interpret=interpret,
             **mesh_tex_kw,
         )
         # z-composite the n_obj layers.
@@ -112,14 +161,101 @@ def make_scene_renderer(
             a, winner[None, ..., None] if a.ndim == 4 else winner[None],
             axis=0,
         )[0]
-        fg = take(out.rgb)
+        albedo = take(out.rgb)
+        n_eye = take(out.normals) * 2.0 - 1.0  # decode eye-space normals
+        depth = jnp.where(any_hit, take(out.depth), 0.0)
+        seg = jnp.where(any_hit, winner + 1, 0).astype(jnp.int32)
+
         if background:
             bg = _random_background(k7, resolution)
         else:
-            bg = jnp.zeros((H, W, 3), fg.dtype)
-        rgb = jnp.where(any_hit[..., None], fg, bg)
-        depth = jnp.where(any_hit, take(out.depth), 0.0)
-        seg = jnp.where(any_hit, winner + 1, 0).astype(jnp.int32)
+            bg = jnp.zeros((H, W, 3), albedo.dtype)
+
+        # ---- lighting ------------------------------------------------
+        # Point light above the scene (camera frame: -y is up).
+        lx = jax.random.uniform(k8, (), minval=-1.0, maxval=1.0)
+        lz = jax.random.uniform(k9, (), minval=-0.4, maxval=0.9)
+        light_pos = jnp.stack([lx, -1.2, 0.85 + lz])
+        target = jnp.asarray([0.0, 0.0, 0.85])
+
+        if ibl:
+            coarse = jax.random.uniform(
+                jax.random.fold_in(k7, 1), (3, 3), minval=-0.3, maxval=0.3
+            )
+            c0 = (
+                bg.mean((0, 1)) * 0.7 + 0.3
+                if background
+                else jnp.ones((3,))
+            )
+            env = lambda n: 0.35 + 0.65 * _env_sample(c0, coarse * c0, n)
+        else:
+            env = lambda n: jnp.ones_like(n)
+
+        # Shading points: object surface for hits, the background plane
+        # (normal -z, facing the camera) elsewhere.
+        pix_depth = jnp.where(any_hit, depth, z_bg)
+        X_c = jnp.concatenate(
+            [rays * pix_depth[..., None], pix_depth[..., None]], -1
+        )  # [H, W, 3]
+        n_pix = jnp.where(
+            any_hit[..., None], n_eye, jnp.asarray([0.0, 0.0, -1.0])
+        )
+        l_dir = light_pos - X_c
+        l_dir = l_dir / jnp.maximum(
+            jnp.linalg.norm(l_dir, axis=-1, keepdims=True), 1e-6
+        )
+        n_dot_l = jnp.clip(jnp.sum(n_pix * l_dir, -1), 0.0, 1.0)
+
+        if shadows:
+            # Shadow map: depth from the light's viewpoint, min-composited
+            # over all objects (second rasterizer pass; the TPU-side
+            # equivalent of BlenderProc's shadow rays).
+            up = jnp.asarray([0.0, -1.0, 0.0])
+            R_CL = look_at_R(light_pos, target, up)  # light cam -> camera
+            T_CL = make_se3(R_CL, light_pos)
+            T_LC = invert_se3(T_CL)
+            TLO = jnp.einsum("ij,njk->nik", T_LC, TCO)
+            K_L = jnp.broadcast_to(K_light, (n_obj, 3, 3))
+            out_l = rasterizer_tiled.render_meshes_tiled(
+                meshes.vertices, meshes.normals, meshes.colors,
+                meshes.faces, meshes.face_valid, TLO, K_L, (H, W),
+                light_ambient=1.0, light_point=0.0,
+                interpret=interpret,
+            )
+            shadow_depth = jnp.where(
+                out_l.mask, out_l.depth, jnp.inf
+            ).min(axis=0)  # [H, W]
+            # Reproject shading points into light space + depth test.
+            X_l = (
+                jnp.einsum("ij,hwj->hwi", T_LC[:3, :3], X_c)
+                + T_LC[:3, 3]
+            )
+            zl = jnp.maximum(X_l[..., 2], 1e-4)
+            ul = K_light[0, 0] * X_l[..., 0] / zl + K_light[0, 2]
+            vl = K_light[1, 1] * X_l[..., 1] / zl + K_light[1, 2]
+            iu = jnp.clip(jnp.round(ul).astype(jnp.int32), 0, W - 1)
+            iv = jnp.clip(jnp.round(vl).astype(jnp.int32), 0, H - 1)
+            d_map = shadow_depth[iv, iu]
+            in_map = (ul >= 0) & (ul <= W - 1) & (vl >= 0) & (vl <= H - 1)
+            bias = 5e-3 + 3e-2 * (1.0 - n_dot_l)
+            lit = jnp.where(
+                in_map & jnp.isfinite(d_map), zl <= d_map + bias, True
+            ).astype(jnp.float32)
+            # soften: average with the 4-neighborhood test at +-1px
+            lit = 0.5 * lit + 0.5 * jnp.where(
+                in_map & jnp.isfinite(d_map),
+                (zl <= shadow_depth[
+                    jnp.clip(iv + 1, 0, H - 1), iu
+                ] + bias).astype(jnp.float32),
+                1.0,
+            )
+        else:
+            lit = jnp.ones((H, W), jnp.float32)
+
+        shade = amb * env(n_pix) + pnt * (n_dot_l * lit)[..., None]
+        fg_rgb = jnp.clip(albedo * shade, 0.0, 1.0)
+        bg_rgb = jnp.clip(bg * shade, 0.0, 1.0)
+        rgb = jnp.where(any_hit[..., None], fg_rgb, bg_rgb)
         # Visible fraction per object: visible px / unoccluded-layer px
         # (the reference gets visib_fract from BlenderProc/BOP gt_info).
         layer_px = out.mask.sum(axis=(1, 2))  # [n]

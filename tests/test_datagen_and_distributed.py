@@ -209,3 +209,46 @@ def test_two_process_distributed(tmp_path):
     assert rec["labels"] == [f"obj_{i}" for i in range(7)]
     np.testing.assert_allclose(rec["scores"], np.arange(7) / 10.0, atol=1e-7)
     np.testing.assert_allclose(rec["pose_diag0"], np.arange(1.0, 8.0))
+
+
+def test_datagen_shadows_and_ibl():
+    """Realism pass: cast shadows only darken (pointwise vs the
+    shadowless render) and do darken somewhere; IBL tints ambient
+    (BlenderProc-GI capability analog, generate_shapenet_pbr.py)."""
+    import jax
+
+    from megapose6d_tpu.meshes.mesh_db import MeshDataBase
+    from megapose6d_tpu.scripts.generate_synthetic_dataset import (
+        _default_objects,
+        make_scene_renderer,
+    )
+
+    objs = _default_objects()
+    db = MeshDataBase.from_object_ds(
+        objs, max_faces=256, n_points=128, n_sym=2
+    ).batched(align=32)
+    kw = dict(ibl=False)
+    with_sh = make_scene_renderer(db, 3, (64, 96), 120.0, **kw)
+    no_sh = make_scene_renderer(
+        db, 3, (64, 96), 120.0, shadows=False, **kw
+    )
+    found_shadow = False
+    for seed in range(4):
+        key = jax.random.PRNGKey(seed)
+        rgb_s, depth_s, seg_s, *_ = map(np.asarray, with_sh(key))
+        rgb_n, depth_n, seg_n, *_ = map(np.asarray, no_sh(key))
+        # Geometry identical; only shading differs.
+        np.testing.assert_array_equal(seg_s, seg_n)
+        np.testing.assert_allclose(depth_s, depth_n, atol=1e-6)
+        assert (rgb_s <= rgb_n + 1e-5).all()
+        if (rgb_n - rgb_s).max() > 0.05:
+            found_shadow = True
+    assert found_shadow, "no cast shadow found in 4 random scenes"
+
+    # IBL: ambient becomes normal-direction dependent -> rgb changes vs
+    # flat ambient, geometry unchanged.
+    with_ibl = make_scene_renderer(db, 3, (64, 96), 120.0, shadows=False)
+    rgb_i, _, seg_i, *_ = map(np.asarray, with_ibl(jax.random.PRNGKey(0)))
+    rgb_f, _, seg_f, *_ = map(np.asarray, no_sh(jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(seg_i, seg_f)
+    assert np.abs(rgb_i - rgb_f).max() > 0.01
