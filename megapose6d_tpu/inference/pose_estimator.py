@@ -426,6 +426,40 @@ class PoseEstimator:
             "pose_logits_dk": pose_logits_dk,
         }
 
+    def fused_pipeline_cost_analysis(self, observation, detections) -> dict:
+        """XLA cost analysis (flops/bytes) of the compiled fused pipeline
+        for the given observation/detections shapes. Used by bench.py for
+        an MFU estimate; mirrors run_inference_pipeline's argument prep."""
+        cfg = self.cfg
+        D = cfg.max_detections
+        labels = list(detections.infos["label"])
+        mesh_idx = _pad_to(
+            np.asarray(self.mesh_db.label_to_index(labels), np.int32), D
+        )
+        boxes = _pad_to(np.asarray(detections.bboxes, np.float32), D)
+        grid = self.so3_grid
+        chunk = min(cfg.bsz_images, D * grid.shape[0])
+        # .lower on the unbound jitted function (instance binding does not
+        # forward jax.stages methods).
+        lowered = type(self)._full_pipeline.lower(
+            self,
+            chunk,
+            min(cfg.bsz_objects, D * cfg.n_pose_hypotheses),
+            cfg.n_refiner_iterations,
+            cfg.n_pose_hypotheses,
+            self.coarse_params,
+            self.refiner_params,
+            jnp.asarray(observation.images),
+            jnp.asarray(observation.K),
+            jnp.asarray(boxes),
+            jnp.asarray(mesh_idx),
+            grid,
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        return dict(cost)
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------

@@ -63,6 +63,10 @@ class PosePredictorConfig:
     renderer: str = "tiled"  # "tiled" (Pallas) | "scan" (XLA baseline)
     face_chunk: int = 64  # scan renderer face chunk
     tile_face_chunk: int = 16  # tiled renderer face-chunk granularity
+    # Hypotheses per Pallas program (amortizes per-program fixed cost on
+    # mostly-empty tiles). Keep hyp_pack * n_faces under ~16k; the kernel
+    # silently falls back to 1 when B*V is not divisible.
+    tile_hyp_pack: int = 1
     backface_cull: bool = True  # meshes from MeshDataBase are winding-normalized
     z_near: float = 0.01
 
@@ -261,6 +265,7 @@ class PosePredictor(nn.Module):
                 *render_args,
                 z_near=cfg.z_near,
                 chunk=cfg.tile_face_chunk,
+                hyp_pack=cfg.tile_hyp_pack,
                 backface_cull=cfg.backface_cull,
                 light_ambient=light_ambient,
                 light_point=light_point,

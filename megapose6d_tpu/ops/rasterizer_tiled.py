@@ -174,28 +174,37 @@ def _prepare_single(
     )  # [T, F]
     n_chunks = F // chunk
     chunk_mask = overlap.reshape(overlap.shape[0], n_chunks, chunk).any(-1)
-    # Compact ACTIVE chunk indices, ascending (a tiny top_k over <=256
-    # chunk slots — unlike face-level compaction this is cheap). The
-    # kernel then runs a dynamic-trip-count loop over exactly the active
-    # chunks: no Mosaic loop unrolling (compile time) and no wasted work.
-    score = jnp.where(
-        chunk_mask, n_chunks - jnp.arange(n_chunks, dtype=jnp.int32), 0
+    # Compact ACTIVE chunk ids, FRONT-TO-BACK (by per-chunk nearest
+    # vertex depth): the z-buffer fills early, so the kernel's deferred
+    # shading (`@pl.when(any(better))`) skips the attribute planes of
+    # occluded chunks — on self-occluding meshes most of them. A tiny
+    # argsort over <=256 chunk slots per tile; unlike face-level
+    # compaction (top_k/scatter over F) this is cheap on TPU. Inactive
+    # chunks sort to the back; the kernel's dynamic trip count
+    # (`n_active`) never reaches them.
+    zmin_face = jnp.where(
+        valid, jnp.min(screen[faces][..., 2], axis=1), jnp.inf
     )
-    _, ids = jax.lax.top_k(score, n_chunks)  # active ascending first
+    chunk_z = zmin_face.reshape(n_chunks, chunk).min(-1)  # [n_chunks]
+    ids = jnp.argsort(
+        jnp.where(chunk_mask, chunk_z[None, :], jnp.inf), axis=1
+    )  # [T, n_chunks] active-nearest first
     n_active = chunk_mask.sum(axis=1).astype(jnp.int32)  # [T]
     return packed, ids.astype(jnp.int32), n_active
 
 
 def _visibility_kernel(
-    meta_ref,  # SMEM [1 + n_chunks] i32: [n_active, ids...]
-    coef_ref,  # VMEM [F, 32] (shared across tiles)
-    invz_ref,  # out [tile_h, TILE_W] f32
-    fid_out_ref,  # out [tile_h, TILE_W] i32
-    attr_ref,  # out [N_ATTR * tile_h, TILE_W] f32 (attr-major)
+    meta_ref,  # SMEM [P, 1 + n_chunks] i32: per hyp [n_active, ids...]
+    coef_ref,  # VMEM [P * F, 32] (shared across tiles)
+    invz_ref,  # out [P, tile_h, TILE_W] f32
+    fid_out_ref,  # out [P, tile_h, TILE_W] i32
+    attr_ref,  # out [P, N_ATTR * tile_h, TILE_W] f32 (attr-major)
     *,
     chunk: int,
     n_tiles_w: int,
     tile_h: int,
+    hyp_pack: int,
+    faces_per_hyp: int,
 ):
     t = pl.program_id(1)
     row0 = ((t // n_tiles_w) * tile_h).astype(jnp.float32)
@@ -207,53 +216,68 @@ def _visibility_kernel(
         jnp.float32
     )
 
-    invz_ref[...] = jnp.full((tile_h, TILE_W), -jnp.inf, jnp.float32)
-    fid_out_ref[...] = jnp.full((tile_h, TILE_W), -1, jnp.int32)
-    attr_ref[...] = jnp.zeros((N_ATTR * tile_h, TILE_W), jnp.float32)
+    invz_ref[...] = jnp.full(invz_ref.shape, -jnp.inf, jnp.float32)
+    fid_out_ref[...] = jnp.full(fid_out_ref.shape, -1, jnp.int32)
+    attr_ref[...] = jnp.zeros(attr_ref.shape, jnp.float32)
 
-    def body(i, _):
-        ci = meta_ref[1 + i]
-        cf = coef_ref[pl.ds(ci * chunk, chunk), :]  # [CH, 32]
-        gid = ci * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, 1, 1), 0
-        )
+    # `hyp_pack` hypotheses share one program: their (identical-position)
+    # tiles are mostly empty at typical object coverage, so amortizing the
+    # fixed per-program cost over P z-buffers raises occupancy. Python
+    # loop -> unrolled; each p has its own dynamic-trip chunk loop.
+    for p in range(hyp_pack):
+        coef_base = p * faces_per_hyp
 
-        def ev(k):
-            a = cf[:, 3 * k][:, None, None]
-            b = cf[:, 3 * k + 1][:, None, None]
-            # Rebase the constant to the tile origin in-kernel (f32
-            # accuracy: local pixel coords are <= 128).
-            c = cf[:, 3 * k + 2][:, None, None] + a * col0 + b * row0
-            return a * px_u + b * px_v + c  # [CH, H, W]
+        def body(i, _, p=p, coef_base=coef_base):
+            ci = meta_ref[p, 1 + i]
+            cf = coef_ref[pl.ds(coef_base + ci * chunk, chunk), :]  # [CH, 32]
+            gid = ci * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1, 1), 0
+            )
 
-        e0, e1, e2 = ev(0), ev(1), ev(2)
-        iz = ev(3)
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-        cand = jnp.where(inside, iz, -jnp.inf)
+            def ev(k):
+                a = cf[:, 3 * k][:, None, None]
+                b = cf[:, 3 * k + 1][:, None, None]
+                # Rebase the constant to the tile origin in-kernel (f32
+                # accuracy: local pixel coords are <= 128).
+                c = cf[:, 3 * k + 2][:, None, None] + a * col0 + b * row0
+                return a * px_u + b * px_v + c  # [CH, H, W]
 
-        c_best = jnp.max(cand, axis=0)  # [H, W]
-        better = c_best > invz_ref[...]
+            e0, e1, e2 = ev(0), ev(1), ev(2)
+            iz = ev(3)
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            cand = jnp.where(inside, iz, -jnp.inf)
 
-        # Deferred shading without gathers: the 6 attribute planes (60% of
-        # the per-chunk VPU work) run only when this chunk actually wins a
-        # pixel — chunks fully occluded by the current z-buffer (or whose
-        # bbox overlaps the tile but whose triangles miss it) skip them.
-        @pl.when(jnp.any(better))
-        def _shade():
-            # Winner id via masked max (ids unique; no gathers in Mosaic).
-            c_fid = jnp.max(jnp.where(cand >= c_best[None], gid, -1), axis=0)
-            match = (gid == c_fid[None]) & inside  # [CH, H, W]
-            fid_out_ref[...] = jnp.where(better, c_fid, fid_out_ref[...])
-            for k in range(N_ATTR):
-                val = ev(4 + k)
-                sel = jnp.max(jnp.where(match, val, -jnp.inf), axis=0)
-                row = slice(k * tile_h, (k + 1) * tile_h)
-                attr_ref[row, :] = jnp.where(better, sel, attr_ref[row, :])
+            c_best = jnp.max(cand, axis=0)  # [H, W]
+            better = c_best > invz_ref[p]
 
-        invz_ref[...] = jnp.where(better, c_best, invz_ref[...])
-        return 0
+            # Deferred shading without gathers: the 6 attribute planes
+            # (60% of the per-chunk VPU work) run only when this chunk
+            # actually wins a pixel — chunks fully occluded by the current
+            # z-buffer (or whose bbox overlaps the tile but whose
+            # triangles miss it) skip them.
+            @pl.when(jnp.any(better))
+            def _shade():
+                # Winner id via masked max (ids unique; no gathers in
+                # Mosaic).
+                c_fid = jnp.max(
+                    jnp.where(cand >= c_best[None], gid, -1), axis=0
+                )
+                match = (gid == c_fid[None]) & inside  # [CH, H, W]
+                fid_out_ref[p] = jnp.where(
+                    better, c_fid, fid_out_ref[p]
+                )
+                for k in range(N_ATTR):
+                    val = ev(4 + k)
+                    sel = jnp.max(jnp.where(match, val, -jnp.inf), axis=0)
+                    row = slice(k * tile_h, (k + 1) * tile_h)
+                    attr_ref[p, row, :] = jnp.where(
+                        better, sel, attr_ref[p, row, :]
+                    )
 
-    jax.lax.fori_loop(0, meta_ref[0], body, 0)
+            invz_ref[p] = jnp.where(better, c_best, invz_ref[p])
+            return 0
+
+        jax.lax.fori_loop(0, meta_ref[p, 0], body, 0)
 
 
 def _run_visibility(
@@ -264,14 +288,18 @@ def _run_visibility(
     chunk: int = 16,
     interpret: bool = False,
     tile_h: int = TILE_H,
+    hyp_pack: int = 1,
 ):
     B, F, _ = coefs.shape
     T = chunk_ids.shape[1]
     n_chunks = chunk_ids.shape[2]
+    P = hyp_pack if (hyp_pack > 1 and B % hyp_pack == 0) else 1
 
     kernel = functools.partial(
-        _visibility_kernel, chunk=chunk, n_tiles_w=n_tiles_w, tile_h=tile_h
+        _visibility_kernel, chunk=chunk, n_tiles_w=n_tiles_w, tile_h=tile_h,
+        hyp_pack=P, faces_per_hyp=F,
     )
+    G = B // P  # hypothesis groups
     out_shape = (
         jax.ShapeDtypeStruct((B, T, tile_h, TILE_W), jnp.float32),
         jax.ShapeDtypeStruct((B, T, tile_h, TILE_W), jnp.int32),
@@ -279,37 +307,42 @@ def _run_visibility(
     )
     meta = jnp.concatenate(
         [n_active[..., None], chunk_ids], axis=-1
-    )[:, :, None, :].astype(jnp.int32)
+    ).astype(jnp.int32)
+    # Group-major layouts: [G, T, P, ...] for meta, [G, P*F, 32] for coefs
+    # (each program reads its group's whole coefficient table).
+    meta_g = meta.reshape(G, P, T, 1 + n_chunks).swapaxes(1, 2)
+    coefs_g = coefs.reshape(G, P * F, COEF_W)
     invz, best_fid, attrs = pl.pallas_call(
         kernel,
-        grid=(B, T),
+        grid=(G, T),
         in_specs=[
             pl.BlockSpec(
-                (None, None, None, 1 + n_chunks), lambda b, t: (b, t, 0, 0),
+                (None, None, P, 1 + n_chunks), lambda g, t: (g, t, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (None, F, COEF_W), lambda b, t: (b, 0, 0),
+                (None, P * F, COEF_W), lambda g, t: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (None, None, tile_h, TILE_W), lambda b, t: (b, t, 0, 0),
+                (P, None, tile_h, TILE_W), lambda g, t: (g, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, None, tile_h, TILE_W), lambda b, t: (b, t, 0, 0),
+                (P, None, tile_h, TILE_W), lambda g, t: (g, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, None, N_ATTR * tile_h, TILE_W), lambda b, t: (b, t, 0, 0),
+                (P, None, N_ATTR * tile_h, TILE_W),
+                lambda g, t: (g, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(meta, coefs)
+    )(meta_g, coefs_g)
     return invz, best_fid, attrs
 
 
@@ -341,6 +374,7 @@ def render_meshes_tiled(
     backface_cull: bool = False,
     interpret: bool = False,
     tile_h: int = TILE_H,
+    hyp_pack: int = 1,
     uvs: Array | None = None,
     textures: Array | None = None,
     has_tex: Array | None = None,
@@ -349,6 +383,13 @@ def render_meshes_tiled(
 
     `backface_cull=True` requires outward-CCW winding (guaranteed for
     meshes from `MeshDataBase`) and closed surfaces; it halves face work.
+
+    `hyp_pack=P` packs P hypotheses into each Pallas program (grid
+    (B/P, T) instead of (B, T)): at typical object coverage most tiles
+    are empty, so per-program fixed cost dominates; packing amortizes it.
+    Requires B % P == 0 (silently falls back to 1 otherwise) and raises
+    the per-program coefficient VMEM block to P*F*128 bytes — keep
+    P*F under ~16k faces.
 
     Per-pixel texturing: pass `uvs [B, V, 2]` + `textures [B, TS, TS, 3]
     u8` + `has_tex [B]`. Textured images carry (u, v) in the color
@@ -384,7 +425,7 @@ def render_meshes_tiled(
 
     invz_t, fid_t, attr_t = _run_visibility(
         coefs, chunk_ids, n_active, n_tw, chunk=chunk, interpret=interpret,
-        tile_h=tile_h,
+        tile_h=tile_h, hyp_pack=hyp_pack,
     )
 
     invz = _tiles_to_image(invz_t, n_th, n_tw, H, W, tile_h)

@@ -134,3 +134,62 @@ def test_backface_cull_equivalence():
     np.testing.assert_allclose(
         np.asarray(out0.rgb), np.asarray(out1.rgb), atol=1e-6
     )
+
+
+def test_hyp_pack_equivalence():
+    """hyp_pack=2 packs two hypotheses per Pallas program; outputs must be
+    bitwise-identical to the unpacked kernel."""
+    import jax
+
+    cube = make_cube(0.05)
+    sphere = make_uv_sphere(0.05, n_lat=8, n_lon=12)
+    F = max(cube.n_faces, sphere.n_faces)
+
+    def pad(mesh):
+        f = np.zeros((F, 3), np.int32)
+        f[: mesh.n_faces] = mesh.faces
+        fv = np.zeros((F,), bool)
+        fv[: mesh.n_faces] = True
+        return f, fv
+
+    fc, vc = pad(cube)
+    fs, vs = pad(sphere)
+    verts = jnp.stack(
+        [
+            jnp.asarray(cube.vertices),
+            jnp.pad(
+                jnp.asarray(sphere.vertices),
+                ((0, len(cube.vertices) - len(sphere.vertices)), (0, 0)),
+                mode="edge",
+            )
+            if len(sphere.vertices) < len(cube.vertices)
+            else jnp.asarray(sphere.vertices)[: len(cube.vertices)],
+        ]
+    )
+    norms = jnp.ones_like(verts)
+    cols = jnp.full_like(verts, 0.5)
+    faces = jnp.stack([jnp.asarray(fc), jnp.asarray(fs)])
+    fvalid = jnp.stack([jnp.asarray(vc), jnp.asarray(vs)])
+    TCO = jnp.stack(
+        [jnp.asarray(pose_z(0.5, 0.3)), jnp.asarray(pose_z(0.7, 1.1))]
+    )
+    Ks = jnp.broadcast_to(jnp.asarray(K), (2, 3, 3))
+
+    args = (verts, norms, cols, faces, fvalid, TCO, Ks, (H, W))
+    base = render_meshes_tiled(*args, interpret=True)
+    packed = render_meshes_tiled(*args, interpret=True, hyp_pack=2)
+    for name in ("rgb", "depth", "mask", "normals"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(base, name)),
+            np.asarray(getattr(packed, name)),
+            err_msg=name,
+        )
+    # B=3 not divisible by 2 -> silent fallback, still correct.
+    args3 = tuple(
+        jnp.concatenate([a, a[:1]]) if hasattr(a, "shape") else a
+        for a in args[:7]
+    ) + ((H, W),)
+    b3 = render_meshes_tiled(*args3, interpret=True, hyp_pack=2)
+    np.testing.assert_array_equal(
+        np.asarray(b3.mask[:2]), np.asarray(base.mask)
+    )
