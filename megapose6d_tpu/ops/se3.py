@@ -166,6 +166,34 @@ def quat_from_rotmat(R: Array) -> Array:
     return q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)
 
 
+def random_rotations(key: Array, shape: tuple[int, ...]) -> Array:
+    """Haar-uniform random rotation matrices `shape + (3, 3)`.
+
+    Normalized Gaussian 4-vectors are uniform on S^3, hence uniform on
+    SO(3) through the double cover (same construction as pytorch3d's
+    `random_rotations`, used by the reference's eval jitter).
+    """
+    q = jax.random.normal(key, tuple(shape) + (4,))
+    return rotmat_from_quat(q)
+
+
+def small_random_rotations(
+    key: Array, shape: tuple[int, ...], max_angle_rad: float
+) -> Array:
+    """Random rotations with angle ~ U[0, max_angle_rad] about a
+    Haar-uniform axis; `shape + (3, 3)`."""
+    k_axis, k_ang = jax.random.split(key)
+    axis = jax.random.normal(k_axis, tuple(shape) + (3,))
+    axis = axis / (
+        jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-12
+    )
+    half = jax.random.uniform(k_ang, tuple(shape)) * (max_angle_rad / 2.0)
+    q = jnp.concatenate(
+        [axis * jnp.sin(half)[..., None], jnp.cos(half)[..., None]], -1
+    )  # xyzw
+    return rotmat_from_quat(q)
+
+
 def rotmat_from_euler_sxyz(euler: Array) -> Array:
     """Static-frame XYZ euler angles -> rotation matrix (R = Rz @ Ry @ Rx).
 

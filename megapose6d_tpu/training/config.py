@@ -55,6 +55,9 @@ class TrainingConfig:
     init_euler_deg_std: tuple[float, float, float] = (15.0, 15.0, 15.0)
     init_trans_std: tuple[float, float, float] = (0.01, 0.01, 0.05)
     random_ambient_light: bool = False
+    # coarse_classif_grid: a hypothesis is positive iff within this angle
+    # of the GT rotation orbit (matched to the 576-cell grid spacing).
+    coarse_pos_angle_deg: float = 30.0
 
     # --- loss ---------------------------------------------------------
     n_points_loss: int = 1000
@@ -179,7 +182,11 @@ def make_coarse_cfg(cfg: TrainingConfig) -> TrainingConfig:
         render_normals=True,
         predict_pose_update=False,
         predict_rendered_views_logits=True,
-        hypotheses_init_method="coarse_classif_multiview_paper",
+        # Default switched from the reference's multiview recipe to the
+        # inference-aligned grid recipe (see forward_loss.py
+        # coarse_classif_grid): box-fitted uniform-rotation negatives.
+        # "coarse_classif_multiview_paper" remains available.
+        hypotheses_init_method="coarse_classif_grid",
         n_hypotheses=6,
         n_iterations=1,
         init_euler_deg_std=(15.0, 15.0, 15.0),

@@ -113,6 +113,66 @@ def test_hypotheses_coarse_multiview(mesh_db):
     assert (np.asarray(pos).sum(1) <= 1).all()
 
 
+def test_hypotheses_coarse_grid(mesh_db):
+    from megapose6d_tpu.ops.se3 import geodesic_distance
+
+    cfg = small_cfg(
+        hypotheses_init_method="coarse_classif_grid",
+        n_hypotheses=6,
+        coarse_pos_angle_deg=30.0,
+    )
+    fn = synthetic_batch_fn(mesh_db, 8, INPUT, f=120.0, face_chunk=32)
+    batch = fn(jax.random.PRNGKey(0))
+    meshes = mesh_db.select(batch.mesh_idx)
+    TCO_init, pos = jax.jit(
+        lambda k: make_hypotheses(k, cfg, batch, meshes)
+    )(jax.random.PRNGKey(3))
+    assert TCO_init.shape == (8, 6, 4, 4) and pos.shape == (8, 6)
+
+    R_hyp = np.asarray(TCO_init[..., :3, :3])
+    assert np.allclose(np.linalg.det(R_hyp), 1.0, atol=1e-4)
+
+    # Labels must agree with the symmetry-aware angular threshold.
+    R_sym = np.einsum(
+        "bij,bsjk->bsik",
+        np.asarray(batch.TCO[:, :3, :3]),
+        np.asarray(meshes.symmetries[:, :, :3, :3]),
+    )
+    d = np.asarray(
+        geodesic_distance(
+            jnp.asarray(R_hyp)[:, :, None], jnp.asarray(R_sym)[:, None]
+        )
+    )
+    d = np.where(np.asarray(meshes.sym_valid)[:, None, :], d, np.inf).min(-1)
+    expect = (d <= np.radians(30.0)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(pos), expect)
+
+    # Translation is box-fitted: identical detection box => the projected
+    # silhouette must land inside (roughly) the same box for every
+    # hypothesis, positive or negative — no frustum shortcut.
+    from megapose6d_tpu.ops.camera import project_points
+
+    pts = np.asarray(meshes.points)  # [B, P, 3]
+    for b in range(2):
+        for h in range(6):
+            uv = np.asarray(
+                project_points(
+                    jnp.asarray(pts[b][None]),
+                    jnp.asarray(batch.K[b][None]),
+                    jnp.asarray(TCO_init[b, h][None]),
+                )
+            )[0]
+            box = np.asarray(batch.bboxes[b])
+            cx_box = (box[0] + box[2]) / 2
+            cy_box = (box[1] + box[3]) / 2
+            w_box = box[2] - box[0]
+            assert abs(uv[:, 0].mean() - cx_box) < w_box
+            assert abs(uv[:, 1].mean() - cy_box) < w_box
+
+    # With force prob 0.7 over 8 samples, some positives must exist.
+    assert np.asarray(pos).sum() >= 1
+
+
 @pytest.mark.slow
 def test_refiner_train_step_decreases_loss(mesh_db):
     # Large init noise so the loss starts well above the identity-update
