@@ -31,7 +31,7 @@ from ..models.pose_predictor import PosePredictor, PosePredictorConfig
 from ..ops.pose_init import tco_init_from_boxes_autodepth_with_R
 from ..ops.se3 import geodesic_distance
 from ..ops.so3_grid import make_so3_grid
-from ..training.config import TrainingConfig, make_coarse_cfg
+from ..training.config import TrainingConfig, make_coarse_cfg, save_config
 from ..training.train import (
     create_train_state,
     load_checkpoint,
@@ -74,6 +74,9 @@ def main(argv=None):
         epoch_size=int(args["batch_size"]), seed=int(args["seed"]),
     )
     cfg = dataclasses.replace(make_coarse_cfg(base), n_hypotheses=4)
+    # Persist the config so the run dir is consumable by the structured
+    # eval path (load_or_init_models expects run_dir/config.json).
+    save_config(cfg, out_dir / "config.json")
     model = PosePredictor(PosePredictorConfig(**cfg.model_config_kwargs()))
     state = create_train_state(
         cfg, model, mesh_db, jax.random.PRNGKey(cfg.seed), input_res=input_res

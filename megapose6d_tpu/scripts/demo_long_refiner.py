@@ -30,7 +30,7 @@ import numpy as np
 
 from ..models.pose_predictor import PosePredictor, PosePredictorConfig
 from ..ops.se3 import add_pose_noise
-from ..training.config import TrainingConfig, make_refiner_cfg
+from ..training.config import TrainingConfig, make_refiner_cfg, save_config
 from ..training.train import (
     create_train_state,
     make_train_step,
@@ -83,6 +83,9 @@ def main(argv=None):
         make_refiner_cfg(base), n_rendered_views=2,
         multiview_type="front_1view", n_iterations=1,
     )
+    # Persist the config so the run dir is consumable by the structured
+    # eval path (load_or_init_models expects run_dir/config.json).
+    save_config(cfg, out_dir / "config.json")
     model = PosePredictor(PosePredictorConfig(**cfg.model_config_kwargs()))
     state = create_train_state(
         cfg, model, mesh_db, jax.random.PRNGKey(cfg.seed), input_res=input_res

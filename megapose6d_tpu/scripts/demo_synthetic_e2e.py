@@ -51,7 +51,7 @@ def _position_colored(mesh):
     return _dc.replace(mesh, vertex_colors=0.15 + 0.85 * colors)
 
 
-def build_world(max_faces=2048):
+def build_world(max_faces=2048, return_objects=False):
     """Two random-block-TEXTURED primitives (exercises the per-pixel texture
     path end-to-end). Texture, not smooth vertex color, is what makes
     rotation refinable at demo training scale: the high-frequency pattern
@@ -69,9 +69,10 @@ def build_world(max_faces=2048):
             ),
         ]
     )
-    return MeshDataBase.from_object_ds(
+    db = MeshDataBase.from_object_ds(
         objs, max_faces=max_faces, n_points=512, n_sym=4
     ).batched()
+    return (db, objs) if return_objects else db
 
 
 def train_model(cfg: TrainingConfig, mesh_db, n_steps: int, input_res, tag: str):
