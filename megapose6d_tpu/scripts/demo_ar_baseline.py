@@ -71,6 +71,7 @@ def main(argv=None):
         refiner_dir="/tmp/demo_long", coarse_dir="/tmp/coarse_grid",
         out_dir="ar_baseline", n_frames="24", so3="576", refine_iters="3",
         backbone="resnet18-spatial", render="240,320", n_hyp="4",
+        detector_dir="",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -153,6 +154,25 @@ def main(argv=None):
     summary = EvaluationRunner(
         scene_ds, {"bop": BOPScoreMeter(mesh_db, image_width=w)}
     ).evaluate(final)
+
+    det_summary = None
+    if args["detector_dir"]:
+        # Pipeline from DETECTOR boxes (reference detection_type=
+        # 'detector', prediction_runner.py:96-107) — the end-to-end row
+        # with no GT at inference time.
+        from ..evaluation.evaluation import load_detector
+
+        detector = load_detector(args["detector_dir"])
+        det_runner = PredictionRunner(
+            scene_ds, estimator, detector=detector,
+            detection_type="detector",
+        )
+        det_final = det_runner.get_predictions()["final"]
+        logger.info(f"{len(det_final)} detector-driven predictions")
+        if len(det_final):
+            det_summary = EvaluationRunner(
+                scene_ds, {"bop": BOPScoreMeter(mesh_db, image_width=w)}
+            ).evaluate(det_final)
     report = {
         "dataset": str(ds_dir),
         "n_frames": len(scene_ds),
@@ -164,6 +184,11 @@ def main(argv=None):
             k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
             for k, v in summary.get("bop", summary).items()
         } if isinstance(summary, dict) else summary,
+        "detector_dir": args["detector_dir"] or None,
+        "summary_from_detector": (
+            det_summary.get("bop", det_summary)
+            if isinstance(det_summary, dict) else det_summary
+        ),
     }
     (out_dir / "report.json").write_text(
         json.dumps(report, indent=2, default=str)

@@ -95,13 +95,20 @@ def main(argv=None):
         run_id="detector", run_dir="runs", n_steps="1000", batch_size="8",
         resolution="240,320", n_obj_per_scene="2", lr="1e-3", width="32",
         object_dataset="", log_every="50", seed="0", predict_masks="0",
+        demo_world="0", n_eval="0",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
         assert k in args, f"unknown arg {k}"
         args[k] = v
 
-    if args["object_dataset"]:
+    if args["demo_world"] == "1":
+        # The textured demo world (same assets/appearance as the pose
+        # demo checkpoints + demo_ar_baseline scenes).
+        from .demo_ar_baseline import build_bop_world
+
+        _, objects = build_bop_world()
+    elif args["object_dataset"]:
         from ..data.datasets_cfg import make_object_dataset
 
         objects = make_object_dataset(args["object_dataset"])
@@ -192,6 +199,90 @@ def main(argv=None):
     )
     ckptr.wait_until_finished()
     logger.info(f"saved detector to {run_dir}")
+
+    n_eval = int(args["n_eval"])
+    if n_eval:
+        rep = evaluate_detector(
+            model, params, cfg, batch_fn, n_eval, predict_masks,
+            seed=int(args["seed"]) + 777,
+        )
+        (run_dir / "eval.json").write_text(json.dumps(rep, indent=2))
+        logger.info(f"detector eval: {json.dumps(rep)}")
+
+
+def evaluate_detector(
+    model, params, cfg, batch_fn, n_batches, predict_masks, seed=777
+):
+    """Held-out metrics: mean box IoU of matched detections, class
+    accuracy, recall at score>0.3, and (if the mask head is on) mean
+    per-instance mask IoU — the MaskRCNN-replacement scorecard
+    (reference detector role: inference/detector.py:64-139)."""
+    import numpy as np
+
+    from ..models.detector import decode_detections
+
+    ious, cls_ok, found, mask_ious = [], [], [], []
+    key = jax.random.PRNGKey(seed)
+    for _ in range(n_batches):
+        key, sub = jax.random.split(key)
+        batch = batch_fn(sub)
+        rgbs, gt_boxes, gt_classes, gt_valids = [
+            np.asarray(x) for x in batch[:4]
+        ]
+        seg = np.asarray(batch[4]) if predict_masks else None
+        out = model.apply(params, jnp.asarray(rgbs))
+        dec = decode_detections(out, cfg.stride, top_k=8)
+        boxes = np.asarray(dec["boxes"])
+        scores = np.asarray(dec["scores"])
+        classes = np.asarray(dec["classes"])
+        seg_pred = np.asarray(out["seg"]) if predict_masks else None
+        B = rgbs.shape[0]
+        for b in range(B):
+            keep = scores[b] > 0.3
+            for g in range(gt_boxes.shape[1]):
+                if not gt_valids[b, g]:
+                    continue
+                gx1, gy1, gx2, gy2 = gt_boxes[b, g]
+                best_iou, best_j = 0.0, -1
+                for j in np.nonzero(keep)[0]:
+                    x1, y1, x2, y2 = boxes[b, j]
+                    ix = max(
+                        0.0, min(x2, gx2) - max(x1, gx1)
+                    )
+                    iy = max(0.0, min(y2, gy2) - max(y1, gy1))
+                    inter = ix * iy
+                    union = (
+                        (x2 - x1) * (y2 - y1)
+                        + (gx2 - gx1) * (gy2 - gy1)
+                        - inter
+                    )
+                    iou = inter / union if union > 0 else 0.0
+                    if iou > best_iou:
+                        best_iou, best_j = iou, j
+                found.append(float(best_iou > 0.5))
+                if best_j >= 0:
+                    ious.append(best_iou)
+                    cls_ok.append(
+                        float(classes[b, best_j] == gt_classes[b, g])
+                    )
+                    if seg_pred is not None and seg is not None:
+                        c = int(gt_classes[b, g])
+                        s = cfg.stride
+                        pm = seg_pred[b, :, :, c] > 0
+                        gm = seg[b][::s, ::s] == c
+                        gm = gm[: pm.shape[0], : pm.shape[1]]
+                        u = (pm | gm).sum()
+                        if u:
+                            mask_ious.append(float((pm & gm).sum() / u))
+    rep = {
+        "n_gt": len(found),
+        "recall@iou0.5": float(np.mean(found)) if found else 0.0,
+        "mean_iou_matched": float(np.mean(ious)) if ious else 0.0,
+        "class_accuracy": float(np.mean(cls_ok)) if cls_ok else 0.0,
+    }
+    if mask_ious:
+        rep["mean_mask_iou"] = float(np.mean(mask_ious))
+    return rep
 
 
 if __name__ == "__main__":
