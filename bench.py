@@ -271,7 +271,12 @@ def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
 
 
 def main():
-    log(f"devices: {jax.devices()}")
+    from megapose6d_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    cache = enable_persistent_compilation_cache()
+    log(f"devices: {jax.devices()}  compile cache: {cache}")
     mesh_db, mesh_db_coarse = build_world()
     renders = {}
     for pack in (1, 2, 4):

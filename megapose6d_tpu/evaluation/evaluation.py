@@ -113,6 +113,9 @@ def run_eval(
     every rank evaluates its own frame shard and rank 0 carries the merged
     summary when the caller gathers).
     """
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     save_dir = get_save_dir(cfg)
     save_dir.mkdir(parents=True, exist_ok=True)
 

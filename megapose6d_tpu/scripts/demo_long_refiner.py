@@ -57,6 +57,9 @@ def main(argv=None):
 
     out_dir = Path(args["out_dir"])
     out_dir.mkdir(parents=True, exist_ok=True)
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     input_res = tuple(int(x) for x in args["render"].split(","))
     n_steps = int(args["n_steps"])
     eval_every = int(args["eval_every"])

@@ -198,6 +198,9 @@ def run_inference(args) -> None:
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("example_dir")
     parser.add_argument("--run-inference", action="store_true")

@@ -39,6 +39,9 @@ logger = get_logger(__name__)
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     # Pull out meta-args not in TrainingConfig.
     meta = {"config_id": "refiner", "debug": "0", "synthetic": "0",
