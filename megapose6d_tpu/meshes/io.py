@@ -401,9 +401,25 @@ def simplify_vertex_clustering(mesh: TriMesh, target_faces: int) -> TriMesh:
     """Reduce face count below `target_faces` via uniform-grid vertex
     clustering (binary search on cell size). Silhouette-accurate enough for
     240x320 render-and-compare; replaces nothing in the reference (Panda3D
-    rasterized full meshes) but bounds our static face budget."""
+    rasterized full meshes) but bounds our static face budget.
+
+    Uses the native C++ path (native/meshproc.cc — the whole 32-iteration
+    binary search in one call) when the toolchain builds it; numpy
+    otherwise."""
     if mesh.n_faces <= target_faces:
         return mesh
+    try:
+        from .. import native
+
+        if native.meshproc_available():
+            v, f, c = native.simplify_mesh(
+                mesh.vertices, mesh.faces, mesh.vertex_colors, target_faces
+            )
+            return TriMesh(
+                vertices=v, faces=f, vertex_colors=c
+            ).with_computed_normals()
+    except (RuntimeError, ValueError, OSError):
+        pass  # fall through to the numpy path
     lo, hi = 1e-5, 1.0
     ext = float(
         np.linalg.norm(mesh.vertices.max(0) - mesh.vertices.min(0))

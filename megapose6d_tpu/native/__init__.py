@@ -8,10 +8,20 @@ this environment; the C ABI + ctypes keeps the binding dependency-free)
 and cached next to the source; falls back to PIL transparently when a
 toolchain or the image libraries are unavailable.
 
+`meshproc.cc` is the asset-preprocessing decimator (hash-grid vertex
+clustering with the binary-search-on-cell-size semantics of
+meshes/io.py:simplify_vertex_clustering) — the host-side analog of the
+compiled mesh tooling (trimesh/open3d) the reference's asset pipeline
+uses; at 20k-object DB builds the numpy fallback's unbuffered
+np.add.at dominates.
+
 Public API:
     available() -> bool
     decode_image(data: bytes) -> np.ndarray   # HxWxC u8, HxW u8, or HxW u16
     decode_batch(list[bytes], n_threads=0) -> list[np.ndarray]
+    meshproc_available() -> bool
+    simplify_mesh(verts, faces, colors, target_faces)
+        -> (verts, faces, colors | None)
 """
 
 from __future__ import annotations
@@ -102,6 +112,107 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# meshproc (decimation)
+# ---------------------------------------------------------------------------
+
+_MESH_SRC = Path(__file__).parent / "meshproc.cc"
+_MESH_LIB_PATH = Path(__file__).parent / "_meshproc.so"
+_mesh_lib = None
+_mesh_tried = False
+
+
+def _load_meshproc():
+    global _mesh_lib, _mesh_tried
+    with _lock:
+        if _mesh_tried:
+            return _mesh_lib
+        _mesh_tried = True
+        if not (
+            _MESH_LIB_PATH.exists()
+            and _MESH_LIB_PATH.stat().st_mtime >= _MESH_SRC.stat().st_mtime
+        ):
+            tmp = _MESH_LIB_PATH.with_suffix(f".{os.getpid()}.tmp")
+            cmd = [
+                os.environ.get("CXX", "g++"),
+                "-O2", "-shared", "-fPIC", "-std=c++17",
+                str(_MESH_SRC), "-o", str(tmp),
+            ]
+            try:
+                subprocess.run(
+                    cmd, check=True, capture_output=True, text=True,
+                    timeout=120,
+                )
+                os.replace(tmp, _MESH_LIB_PATH)
+            except (OSError, subprocess.SubprocessError) as e:
+                err = getattr(e, "stderr", "") or str(e)
+                logger.info(f"native meshproc unavailable: {err[:500]}")
+                tmp.unlink(missing_ok=True)
+                return None
+        try:
+            lib = ctypes.CDLL(str(_MESH_LIB_PATH))
+        except OSError as e:
+            logger.info(f"native meshproc unavailable (load failed): {e}")
+            return None
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int)
+        lib.mp_simplify_mesh.argtypes = [
+            f32p, ctypes.c_int, i32p, ctypes.c_int, f32p,
+            ctypes.c_int, ctypes.c_int,
+            f32p, i32p, f32p, i32p, i32p,
+        ]
+        lib.mp_simplify_mesh.restype = ctypes.c_int
+        _mesh_lib = lib
+        return _mesh_lib
+
+
+def meshproc_available() -> bool:
+    return _load_meshproc() is not None
+
+
+def simplify_mesh(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray | None,
+    target_faces: int,
+    max_iters: int = 32,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decimate to <= target_faces (C++ vertex clustering). Shapes:
+    verts [V,3] f32, faces [F,3] i32, colors [V,3] f32 or None."""
+    lib = _load_meshproc()
+    if lib is None:
+        raise RuntimeError("native meshproc not available")
+    v = np.ascontiguousarray(verts, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    c = (
+        np.ascontiguousarray(colors, np.float32)
+        if colors is not None else None
+    )
+    n_v, n_f = len(v), len(f)
+    out_v = np.empty_like(v)
+    out_f = np.empty_like(f)
+    out_c = np.empty_like(c) if c is not None else None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    nv = ctypes.c_int()
+    nf = ctypes.c_int()
+    rc = lib.mp_simplify_mesh(
+        v.ctypes.data_as(f32p), n_v, f.ctypes.data_as(i32p), n_f,
+        c.ctypes.data_as(f32p) if c is not None else None,
+        int(target_faces), int(max_iters),
+        out_v.ctypes.data_as(f32p), out_f.ctypes.data_as(i32p),
+        out_c.ctypes.data_as(f32p) if out_c is not None else None,
+        ctypes.byref(nv), ctypes.byref(nf),
+    )
+    if rc != 0:
+        raise ValueError(f"mp_simplify_mesh failed: {rc}")
+    return (
+        out_v[: nv.value].copy(),
+        out_f[: nf.value].copy(),
+        out_c[: nv.value].copy() if out_c is not None else None,
+    )
 
 
 def supports(data: bytes) -> bool:
