@@ -58,6 +58,13 @@ class TrainingConfig:
     # coarse_classif_grid: a hypothesis is positive iff within this angle
     # of the GT rotation orbit (matched to the 576-cell grid spacing).
     coarse_pos_angle_deg: float = 30.0
+    # Fraction of candidates drawn as GT-composed rotations with angle
+    # ~U[0, coarse_hard_neg_max_deg] instead of Haar-uniform. Haar
+    # negatives are almost always >60 deg from GT, so without these the
+    # positive/negative boundary (the thing 576-grid ranking needs) gets
+    # ~no supervision and training accuracy saturates within ~2k steps.
+    coarse_hard_neg_frac: float = 0.5
+    coarse_hard_neg_max_deg: float = 90.0
 
     # --- loss ---------------------------------------------------------
     n_points_loss: int = 1000

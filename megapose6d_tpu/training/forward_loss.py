@@ -146,9 +146,27 @@ def make_hypotheses(
         # a small rotation. Labels are symmetry-aware: positive iff the
         # hypothesis is within `cfg.coarse_pos_angle_deg` of the GT
         # rotation orbit, which also relabels lucky near-GT negatives.
-        k_rot, k_small, k_force, k_pos = jax.random.split(key, 4)
+        k_rot, k_small, k_force, k_pos, k_hard, k_hsel = jax.random.split(
+            key, 6
+        )
         thresh = jnp.deg2rad(cfg.coarse_pos_angle_deg)
         R_rand = random_rotations(k_rot, (B, H))  # [B, H, 3, 3]
+        # Hard candidates: GT composed with a moderate rotation, densely
+        # covering the positive/negative angular boundary (some land
+        # within `thresh` and are relabeled positive below — that's the
+        # point: fine ranking needs examples on both sides of it).
+        R_hard = jnp.einsum(
+            "bij,bhjk->bhik",
+            batch.TCO[:, :3, :3],
+            small_random_rotations(
+                k_hard, (B, H),
+                math.radians(cfg.coarse_hard_neg_max_deg),
+            ),
+        )
+        use_hard = (
+            jax.random.uniform(k_hsel, (B, H)) < cfg.coarse_hard_neg_frac
+        )
+        R_rand = jnp.where(use_hard[..., None, None], R_hard, R_rand)
         R_pos = jnp.einsum(
             "bij,bjk->bik",
             batch.TCO[:, :3, :3],

@@ -173,6 +173,36 @@ def test_hypotheses_coarse_grid(mesh_db):
     assert np.asarray(pos).sum() >= 1
 
 
+def test_hypotheses_coarse_grid_hard_negatives(mesh_db):
+    from megapose6d_tpu.ops.se3 import geodesic_distance
+
+    cfg = small_cfg(
+        hypotheses_init_method="coarse_classif_grid",
+        n_hypotheses=8,
+        coarse_pos_angle_deg=30.0,
+        coarse_hard_neg_frac=1.0,
+        coarse_hard_neg_max_deg=90.0,
+    )
+    fn = synthetic_batch_fn(mesh_db, 8, INPUT, f=120.0, face_chunk=32)
+    batch = fn(jax.random.PRNGKey(0))
+    meshes = mesh_db.select(batch.mesh_idx)
+    TCO_init, pos = make_hypotheses(
+        jax.random.PRNGKey(5), cfg, batch, meshes
+    )
+    # Every candidate is GT-composed with angle <= 90 deg (geodesic to
+    # the raw GT rotation, before any symmetry reduction).
+    d = np.degrees(
+        np.asarray(
+            geodesic_distance(
+                TCO_init[..., :3, :3], batch.TCO[:, None, :3, :3]
+            )
+        )
+    )
+    assert d.max() <= 90.0 + 1e-3
+    # The boundary region gets real coverage: candidates on both sides.
+    assert (d <= 30.0).sum() >= 2 and (d > 30.0).sum() >= 2
+
+
 @pytest.mark.slow
 def test_refiner_train_step_decreases_loss(mesh_db):
     # Large init noise so the loss starts well above the identity-update
