@@ -289,9 +289,13 @@ def main():
     log(f"scan renders/sec: {renders_scan:.1f}")
 
     big_db, big_db_coarse = build_world_real_scale()
-    renders_big = bench_renders(big_db, n_hyp=64, mode="tiled")
-    log(f"tiled renders/sec (240x320, ~34k faces, n_hyp=64): "
-        f"{renders_big:.1f}")
+    try:
+        renders_big = bench_renders(big_db, n_hyp=64, mode="tiled")
+        log(f"tiled renders/sec (240x320, ~34k faces, n_hyp=64): "
+            f"{renders_big:.1f}")
+    except Exception as e:  # pragma: no cover - report, keep benching
+        log(f"real-scale renders FAILED: {type(e).__name__}: {e}")
+        renders_big = 0.0
 
     # Pipeline sweep: detections x hyp_pack at bench scale.
     per_d = {}
@@ -314,9 +318,13 @@ def main():
     )
 
     # Real-scale pipeline (34k-face mesh, 2k-face coarse LOD).
-    poses_big, _, _ = bench_pipeline(
-        big_db, big_db_coarse, 8, tag="real-scale D=8"
-    )
+    try:
+        poses_big, _, _ = bench_pipeline(
+            big_db, big_db_coarse, 8, tag="real-scale D=8"
+        )
+    except Exception as e:  # pragma: no cover - report, keep benching
+        log(f"real-scale pipeline FAILED: {type(e).__name__}: {e}")
+        poses_big = 0.0
 
     result = {
         "metric": "poses/sec/chip end-to-end (coarse 576-grid + 5 refiner iters)",

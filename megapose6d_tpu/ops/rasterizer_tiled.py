@@ -50,6 +50,11 @@ TILE_H = 32  # default; render_meshes_tiled(tile_h=...) overrides
 TILE_W = 128
 N_ATTR = 6  # r, g, b, nx, ny, nz
 COEF_W = 32  # 9 edge + 3 invz + 18 attr + 2 pad
+# Cap on hyp_pack * faces handled by one visibility call: the per-program
+# coefficient block is P * F * COEF_W * 4 bytes, double-buffered, against
+# a ~16 MB scoped-VMEM limit (34k faces at pack 1 already overflows it).
+# Larger meshes render in face segments merged by z (render_meshes_tiled).
+MAX_FACES_PER_PROGRAM = 16384
 
 
 def _face_coefs(
@@ -378,6 +383,7 @@ def render_meshes_tiled(
     uvs: Array | None = None,
     textures: Array | None = None,
     has_tex: Array | None = None,
+    max_faces_per_program: int = MAX_FACES_PER_PROGRAM,
 ) -> RenderOutput:
     """Drop-in replacement for `rasterizer.render_meshes` (same outputs).
 
@@ -388,8 +394,9 @@ def render_meshes_tiled(
     (B/P, T) instead of (B, T)): at typical object coverage most tiles
     are empty, so per-program fixed cost dominates; packing amortizes it.
     Requires B % P == 0 (silently falls back to 1 otherwise) and raises
-    the per-program coefficient VMEM block to P*F*128 bytes — keep
-    P*F under ~16k faces.
+    the per-program coefficient VMEM block to P*F*128 bytes; when
+    P * F exceeds `max_faces_per_program` the face axis is automatically
+    rendered in segments merged by z, so any face count is safe.
 
     Per-pixel texturing: pass `uvs [B, V, 2]` + `textures [B, TS, TS, 3]
     u8` + `has_tex [B]`. Textured images carry (u, v) in the color
@@ -416,17 +423,45 @@ def render_meshes_tiled(
         face_valid = jnp.pad(face_valid, ((0, 0), (0, pad)))
         F += pad
 
-    coefs, chunk_ids, n_active = jax.vmap(
-        lambda s_, n, c, f, fv: _prepare_single(
-            s_, n, c, f, fv, resolution, chunk, z_near,
-            backface_cull=backface_cull, tile_h=tile_h,
-        )
-    )(screen, normals, colors, faces, face_valid)
+    # Face-axis segmentation: each Pallas program keeps its group's whole
+    # per-face coefficient table resident in VMEM (double-buffered), so
+    # P * F_segment is bounded by scoped VMEM (~16 MB). Raw BOP scans run
+    # 20-60k faces; rendering them in segments with a z-buffer merge
+    # keeps the kernel unchanged and the VMEM footprint flat at any face
+    # count. LOD'd meshes (the standard pipeline path) take S == 1.
+    P_eff = hyp_pack if (hyp_pack > 1 and B % hyp_pack == 0) else 1
+    seg_F = min(F, max(chunk, (max_faces_per_program // P_eff) // chunk * chunk))
+    S = -(-F // seg_F)
+    if F % seg_F:
+        pad = seg_F * S - F
+        faces = jnp.pad(faces, ((0, 0), (0, pad), (0, 0)))
+        face_valid = jnp.pad(face_valid, ((0, 0), (0, pad)))
+        F += pad
 
-    invz_t, fid_t, attr_t = _run_visibility(
-        coefs, chunk_ids, n_active, n_tw, chunk=chunk, interpret=interpret,
-        tile_h=tile_h, hyp_pack=hyp_pack,
+    def _segment(faces_s, valid_s):
+        coefs, chunk_ids, n_active = jax.vmap(
+            lambda s_, n, c, f, fv: _prepare_single(
+                s_, n, c, f, fv, resolution, chunk, z_near,
+                backface_cull=backface_cull, tile_h=tile_h,
+            )
+        )(screen, normals, colors, faces_s, valid_s)
+        return _run_visibility(
+            coefs, chunk_ids, n_active, n_tw, chunk=chunk,
+            interpret=interpret, tile_h=tile_h, hyp_pack=hyp_pack,
+        )
+
+    invz_t, fid_t, attr_t = _segment(
+        faces[:, :seg_F], face_valid[:, :seg_F]
     )
+    for s in range(1, S):
+        sl = slice(s * seg_F, (s + 1) * seg_F)
+        invz_s, fid_s, attr_s = _segment(faces[:, sl], face_valid[:, sl])
+        better = invz_s > invz_t
+        invz_t = jnp.where(better, invz_s, invz_t)
+        fid_t = jnp.where(
+            better, jnp.where(fid_s >= 0, fid_s + s * seg_F, fid_s), fid_t
+        )
+        attr_t = jnp.where(jnp.tile(better, (1, 1, N_ATTR, 1)), attr_s, attr_t)
 
     invz = _tiles_to_image(invz_t, n_th, n_tw, H, W, tile_h)
     fid = _tiles_to_image(fid_t, n_th, n_tw, H, W, tile_h)

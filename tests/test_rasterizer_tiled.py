@@ -193,3 +193,24 @@ def test_hyp_pack_equivalence():
     np.testing.assert_array_equal(
         np.asarray(b3.mask[:2]), np.asarray(base.mask)
     )
+
+
+def test_face_segmentation_equivalence():
+    """Large meshes render in face segments merged by z; outputs must be
+    bitwise-identical to the single-segment path (self-occluding sphere:
+    winners span segments)."""
+    sphere = make_uv_sphere(0.05, n_lat=12, n_lon=16)
+    TCO = pose_z(0.4, 0.7)
+    _, whole = both(sphere, TCO)
+    # Force ~4 segments (n_faces ~ 320+, chunk 16 -> seg_F = 96).
+    _, seg = both(sphere, TCO, max_faces_per_program=96)
+    np.testing.assert_array_equal(
+        np.asarray(whole.mask), np.asarray(seg.mask)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(whole.depth), np.asarray(seg.depth)
+    )
+    np.testing.assert_array_equal(np.asarray(whole.rgb), np.asarray(seg.rgb))
+    np.testing.assert_array_equal(
+        np.asarray(whole.normals), np.asarray(seg.normals)
+    )
