@@ -279,22 +279,42 @@ def load_checkpoint(
     if params_only:
         # The checkpoint also holds opt_state/step; partial-restore just the
         # weights (pretrain-init must work even when the optimizer tree of
-        # the new run differs from the saved one).
+        # the new run differs from the saved one). Restore args carry the
+        # TARGET arrays' shardings so a TPU-saved checkpoint loads on CPU
+        # (and vice versa) — without them orbax resolves the saved device
+        # and fails off-platform.
         restored = ocp.PyTreeCheckpointer().restore(
             path,
             args=ocp.args.PyTreeRestore(
-                item={"params": state.params}, partial_restore=True
+                item={"params": state.params},
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    {"params": state.params}
+                ),
+                partial_restore=True,
             ),
         )
         return state.replace(params=restored["params"]), epoch
+
+    def abstract(tree):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                jnp.shape(x), jnp.result_type(x), sharding=x.sharding
+            )
+            if hasattr(x, "sharding")
+            else x,
+            tree,
+        )
+
     try:
         restored = ckptr.restore(
             path,
-            {
-                "params": state.params,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            },
+            abstract(
+                {
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                }
+            ),
         )
         return (
             state.replace(
@@ -307,7 +327,7 @@ def load_checkpoint(
     except (KeyError, ValueError, FileNotFoundError):
         # Older checkpoints carried params+step only.
         restored = ckptr.restore(
-            path, {"params": state.params, "step": state.step}
+            path, abstract({"params": state.params, "step": state.step})
         )
         return (
             state.replace(params=restored["params"], step=restored["step"]),
