@@ -50,9 +50,14 @@ def load_detector(run_dir: str | Path, detection_th: float = 0.7):
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
     )
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        (run_dir / "checkpoints" / "final").absolute(),
+    # Target-sharding abstract tree: lets a TPU-saved detector checkpoint
+    # restore in a CPU process (see training/train.py:load_checkpoint).
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
         {"params": template},
+    )
+    restored = ckptr.restore(
+        (run_dir / "checkpoints" / "final").absolute(), abstract
     )
     return Detector(
         model, restored["params"], labels, detection_th=detection_th
