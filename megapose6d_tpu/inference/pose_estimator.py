@@ -95,6 +95,17 @@ class PoseEstimator:
         # splitting only).
         self.device_mesh = device_mesh
         self.so3_grid = so3_grid.make_so3_grid(cfg.SO3_grid_size)
+        # Hierarchical coarse scoring: probe grid + Voronoi child table
+        # (see InferenceConfig.SO3_prune_grid_size).
+        if cfg.SO3_prune_grid_size:
+            self.so3_prune_grid = so3_grid.make_so3_grid(
+                cfg.SO3_prune_grid_size
+            )
+            ch, ok = so3_grid.build_prune_table(
+                self.so3_grid, self.so3_prune_grid
+            )
+            self.prune_children = jnp.asarray(ch)
+            self.prune_child_valid = jnp.asarray(ok)
         self.timing_: dict[str, float] = {}
 
     # ------------------------------------------------------------------
@@ -109,7 +120,7 @@ class PoseEstimator:
         K: Array,  # [1, 3, 3]
         boxes: Array,  # [D, 4]
         mesh_idx: Array,  # [D] i32
-        grid: Array,  # [M, 3, 3]
+        grid: Array,  # [M, 3, 3] shared, or [D, M, 3, 3] per-detection
     ) -> tuple[Array, Array]:
         """Score every (detection, grid-rotation) hypothesis.
 
@@ -117,7 +128,7 @@ class PoseEstimator:
         Analog of forward_coarse_model (pose_estimator.py:324-483).
         """
         D = boxes.shape[0]
-        M = grid.shape[0]
+        M = grid.shape[-3]
         meshes_d = self.mesh_db.select(mesh_idx)  # [D, ...]
         points = meshes_d.points  # [D, P, 3]
 
@@ -130,9 +141,12 @@ class PoseEstimator:
                 )[0]
             )(R_all)
 
-        TCO_init = jax.vmap(lambda b, p: init_d(b, p, grid))(
-            boxes, points
-        )  # [D, M, 4, 4]
+        if grid.ndim == 3:
+            TCO_init = jax.vmap(lambda b, p: init_d(b, p, grid))(
+                boxes, points
+            )  # [D, M, 4, 4]
+        else:  # per-detection candidate sets (hierarchical stage 2)
+            TCO_init = jax.vmap(init_d)(boxes, points, grid)
 
         flat_TCO = TCO_init.reshape(D * M, 4, 4)
         flat_idx = jnp.repeat(mesh_idx, M, axis=0)
@@ -177,6 +191,50 @@ class PoseEstimator:
                            mesh_idx, grid):
         return self._coarse_logits_all_impl(
             chunk, coarse_params, images, K, boxes, mesh_idx, grid
+        )
+
+    def _coarse_stage_impl(
+        self, chunk, coarse_params, images, K, boxes, mesh_idx
+    ) -> tuple[Array, Array]:
+        """Coarse scoring stage: full 576-grid sweep, or hierarchical
+        probe-then-children when cfg.SO3_prune_grid_size is set.
+
+        Hierarchical mode scores the small probe grid, keeps the top
+        SO3_prune_keep parents per detection, and scores only their
+        Voronoi children from the full grid (~3x fewer renders at 576).
+        Final hypotheses are always members of the full grid; padded
+        child slots score -inf so they are never selected.
+
+        Returns (logits [D, Mc], TCO_init [D, Mc, 4, 4]).
+        """
+        cfg = self.cfg
+        grid = self.so3_grid
+        if not cfg.SO3_prune_grid_size:
+            return self._coarse_logits_all_impl(
+                chunk, coarse_params, images, K, boxes, mesh_idx, grid
+            )
+        D = boxes.shape[0]
+        probe = self.so3_prune_grid  # [M1, 3, 3]
+        logits1, _ = self._coarse_logits_all_impl(
+            min(chunk, D * probe.shape[0]), coarse_params, images, K,
+            boxes, mesh_idx, probe,
+        )
+        P = min(cfg.SO3_prune_keep, probe.shape[0])
+        _, top_parents = jax.lax.top_k(logits1, P)  # [D, P]
+        cand = self.prune_children[top_parents].reshape(D, -1)  # [D, P*C]
+        valid = self.prune_child_valid[top_parents].reshape(D, -1)
+        R_cand = grid[cand]  # [D, P*C, 3, 3]
+        logits2, TCO_init = self._coarse_logits_all_impl(
+            min(chunk, D * R_cand.shape[1]), coarse_params, images, K,
+            boxes, mesh_idx, R_cand,
+        )
+        return jnp.where(valid, logits2, -jnp.inf), TCO_init
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _coarse_stage(self, chunk, coarse_params, images, K, boxes,
+                      mesh_idx):
+        return self._coarse_stage_impl(
+            chunk, coarse_params, images, K, boxes, mesh_idx
         )
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -387,8 +445,8 @@ class PoseEstimator:
         with the reference's CudaTimer splits)."""
         D = boxes.shape[0]
         M = grid.shape[0]
-        logits, TCO_init = self._coarse_logits_all_impl(
-            chunk_images, coarse_params, images, K, boxes, mesh_idx, grid
+        logits, TCO_init = self._coarse_stage_impl(
+            chunk_images, coarse_params, images, K, boxes, mesh_idx
         )
         top_logits, top_ids = jax.lax.top_k(logits, top_k)
         TCO_topk = jnp.take_along_axis(
@@ -681,14 +739,13 @@ class PoseEstimator:
                 chunk, self.coarse_params, images, K, flat_TCO, flat_idx
             )[:n].reshape(D, M)
         else:
-            logits, TCO_init = self._coarse_logits_all(
+            logits, TCO_init = self._coarse_stage(
                 chunk,
                 self.coarse_params,
                 images,
                 K,
                 jnp.asarray(boxes),
                 jnp.asarray(mesh_idx),
-                grid,
             )
         logits.block_until_ready()
         timing["coarse"] = time.monotonic() - t0

@@ -25,6 +25,13 @@ class InferenceConfig:
     detection_type: str = "gt"  # "gt" | "detector" | "exte rnal"
     coarse_estimation_type: str = "SO3_grid"
     SO3_grid_size: int = 576
+    # Hierarchical coarse scoring (TPU-first; 0 disables): score a small
+    # probe grid of SO3_prune_grid_size rotations first, keep the top
+    # SO3_prune_keep parents, then score only their Voronoi children from
+    # the full grid. Cuts coarse renders ~3x at 576 (72 + keep*C vs 576);
+    # final hypotheses always come from the full grid.
+    SO3_prune_grid_size: int = 0
+    SO3_prune_keep: int = 8
     n_refiner_iterations: int = 5
     n_pose_hypotheses: int = 5
     run_depth_refiner: bool = False

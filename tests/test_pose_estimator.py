@@ -165,3 +165,58 @@ def test_fused_pipeline_matches_phased(setup):
         atol=2e-4,
     )
     assert "total" in est_fused.timing_
+
+
+@pytest.mark.slow
+def test_hierarchical_prune_keep_all_matches_full(setup):
+    """With SO3_prune_keep = probe size, the candidate set is the whole
+    grid (Voronoi children partition it), so the pruned coarse stage must
+    pick the same best pose as the full sweep."""
+    import dataclasses
+
+    est, obs, TCO_gt = setup
+    detections = make_detections(["cube"], gt_detection_box(TCO_gt))
+    out_full, _ = est.run_inference_pipeline(obs, detections)
+
+    est_pruned = PoseEstimator(
+        est.coarse_model, est.coarse_params, est.refiner_model,
+        est.refiner_params, est.mesh_db,
+        dataclasses.replace(
+            est.cfg, SO3_prune_grid_size=4, SO3_prune_keep=4
+        ),
+    )
+    out_pruned, extra = est_pruned.run_inference_pipeline(obs, detections)
+    np.testing.assert_allclose(
+        out_full.poses, out_pruned.poses, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_hierarchical_prune_subset(setup):
+    """Pruned mode (keep < probe size): runs, selects finite poses whose
+    rotations are members of the full grid."""
+    import dataclasses
+
+    from megapose6d_tpu.ops.se3 import geodesic_distance
+
+    est, obs, TCO_gt = setup
+    detections = make_detections(["cube"], gt_detection_box(TCO_gt))
+    est_pruned = PoseEstimator(
+        est.coarse_model, est.coarse_params, est.refiner_model,
+        est.refiner_params, est.mesh_db,
+        dataclasses.replace(
+            est.cfg, SO3_prune_grid_size=4, SO3_prune_keep=2,
+            fused_pipeline=True,
+        ),
+    )
+    out, extra = est_pruned.run_inference_pipeline(obs, detections)
+    assert np.isfinite(out.poses).all()
+    # Coarse inits drawn from the full grid: every top candidate's
+    # rotation matches some full-grid rotation exactly (before refining).
+    TCO_init = extra["coarse"]["TCO_init"]  # [D, Mc, 4, 4]
+    R_init = jnp.asarray(TCO_init[0, :, :3, :3])
+    d = np.asarray(
+        geodesic_distance(R_init[:, None], est.so3_grid[None])
+    )  # [Mc, M]
+    # f32 acos is ill-conditioned near 0 distance; 1e-2 rad ~ 0.6 deg.
+    assert (d.min(axis=1) < 1e-2).all()
