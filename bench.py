@@ -133,7 +133,8 @@ def bench_renders(mesh_db, n_hyp=192, iters=5, resolution=(240, 320),
     return n_hyp / dt
 
 
-def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1):
+def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
+                   prune=0, prune_keep=8):
     from megapose6d_tpu.inference import InferenceConfig, PoseEstimator
     from megapose6d_tpu.models import (
         PosePredictor,
@@ -170,6 +171,8 @@ def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1):
 
     cfg = InferenceConfig(
         SO3_grid_size=576,
+        SO3_prune_grid_size=prune,
+        SO3_prune_keep=prune_keep,
         n_refiner_iterations=5,
         n_pose_hypotheses=5,
         bsz_images=192,
@@ -185,7 +188,8 @@ def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1):
 
 
 def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
-                   want_mfu=False, want_phases=False, tag=""):
+                   want_mfu=False, want_phases=False, tag="", prune=0,
+                   prune_keep=8):
     """poses/s with `n_detections` objects per image (amortizes dispatch +
     fixed pipeline costs the way real BOP scenes do).
 
@@ -199,7 +203,8 @@ def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
     from megapose6d_tpu.ops import rasterizer
 
     est, K = make_estimator(
-        mesh_db, mesh_db_coarse, n_detections, hyp_pack=hyp_pack
+        mesh_db, mesh_db_coarse, n_detections, hyp_pack=hyp_pack,
+        prune=prune, prune_keep=prune_keep,
     )
     img_res = (480, 640)
 
@@ -317,6 +322,18 @@ def main():
         want_mfu=True, want_phases=True, tag="best",
     )
 
+    # Hierarchical coarse pruning (probe 72 + top-8 parents' children):
+    # reported separately until its accuracy cost is validated on the
+    # synthetic eval (demo_finalize_pipeline prune A/B).
+    try:
+        poses_pruned, _, _ = bench_pipeline(
+            mesh_db, mesh_db_coarse, best_d, hyp_pack=best_pipe_pack,
+            prune=72, prune_keep=8, tag=f"D={best_d},pruned72/8",
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"pruned pipeline FAILED: {type(e).__name__}: {e}")
+        poses_pruned = 0.0
+
     # Real-scale pipeline (34k-face mesh, 2k-face coarse LOD).
     try:
         poses_big, _, _ = bench_pipeline(
@@ -339,6 +356,7 @@ def main():
         "best_n_detections": best_d,
         "best_hyp_pack": best_pipe_pack,
         "poses_per_s_by_detections": per_d,
+        "poses_per_s_pruned_72_8": round(poses_pruned, 4),
         "poses_per_s_real_scale_34k_faces": round(poses_big, 4),
         "renders_per_sec": round(renders_tiled, 1),
         "renders_per_sec_by_pack": {

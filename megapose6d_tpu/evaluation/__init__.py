@@ -7,6 +7,7 @@ from .meters import (  # noqa: F401
     ModelNetErrorMeter,
     compute_errors,
     compute_mssd_mspd,
+    match_predictions,
     one_to_one_matching,
 )
 from .runner import EvaluationRunner, PredictionRunner, shard_frames  # noqa: F401

@@ -136,30 +136,9 @@ def get_save_dir(cfg: EvalConfig) -> Path:
     return Path(cfg.save_dir) / cfg.ds_name / save_key
 
 
-def _coerce(value: str, current: Any, hint: str = "") -> Any:
-    """String -> field value, typed by the current value or (when the
-    default is None) the dataclass annotation string."""
-    if isinstance(current, bool):
-        return value.lower() in ("1", "true", "yes")
-    if isinstance(current, int):
-        return int(value)
-    if isinstance(current, float):
-        return float(value)
-    if isinstance(current, tuple):
-        parts = [p for p in value.strip("[]() ").split(",") if p]
-        elem = current[0] if current else value
-        return tuple(type(elem)(p.strip()) for p in parts)
-    if isinstance(current, list) or (current is None and "list" in hint):
-        try:
-            out = json.loads(value)
-            return out if isinstance(out, list) else [out]
-        except json.JSONDecodeError:
-            return [p.strip() for p in value.split(",") if p.strip()]
-    if current is None and "int" in hint:
-        return int(value)
-    if current is None and "float" in hint:
-        return float(value)
-    return value
+# One dotlist coercion for all CLIs (training/config.py); a fix there
+# applies to the eval surface too.
+from ..training.config import _coerce  # noqa: E402
 
 
 def apply_eval_overrides(cfg, argv: list[str]):

@@ -56,6 +56,66 @@ def one_to_one_matching(
     return merged
 
 
+def match_predictions(pred_infos, gt_infos):
+    """Match prediction rows to GT rows for metric computation.
+
+    Exact (label, instance_id) key matching when it holds (GT-driven
+    detections); otherwise BOP19-style greedy matching per
+    (scene_id, view_id, label) group — predictions claim GT instances in
+    score order (toolkit pose_matching semantics), and GT instances
+    without a prediction are returned as misses so meters can score them
+    as infinite error instead of crashing (detector-driven eval:
+    detection-order instance_ids + possible missed objects).
+
+    Returns (pred_ids [N], gt_ids [N], missed_gt_ids [M]) as int arrays.
+    """
+    keys = tuple(
+        k
+        for k in ("scene_id", "view_id", "label", "instance_id")
+        if k in pred_infos.columns and k in gt_infos.columns
+    )
+    try:
+        matches = one_to_one_matching(pred_infos, gt_infos, keys=keys)
+        return (
+            matches["pred_id"].to_numpy().astype(int),
+            matches["gt_id"].to_numpy().astype(int),
+            np.zeros((0,), int),
+        )
+    except (ValueError, AssertionError):
+        pass
+    pred = pred_infos.reset_index(drop=True).copy()
+    gt = gt_infos.reset_index(drop=True).copy()
+    pred["pred_id"] = np.arange(len(pred))
+    gt["gt_id"] = np.arange(len(gt))
+    group_keys = [
+        k
+        for k in ("scene_id", "view_id", "label")
+        if k in pred.columns and k in gt.columns
+    ]
+    score_col = next(
+        (c for c in ("score", "pose_score", "pose_logit") if c in pred.columns),
+        None,
+    )
+    pred_ids, gt_ids, missed = [], [], []
+    pred_groups = dict(tuple(pred.groupby(group_keys, sort=False)))
+    for gkey, gt_grp in gt.groupby(group_keys, sort=False):
+        p_grp = pred_groups.get(gkey)
+        if p_grp is not None and score_col is not None:
+            p_grp = p_grp.sort_values(score_col, ascending=False)
+        n_pred = 0 if p_grp is None else len(p_grp)
+        for i, gt_id in enumerate(gt_grp["gt_id"].to_numpy()):
+            if i < n_pred:
+                pred_ids.append(int(p_grp["pred_id"].iloc[i]))
+                gt_ids.append(int(gt_id))
+            else:
+                missed.append(int(gt_id))
+    return (
+        np.asarray(pred_ids, int),
+        np.asarray(gt_ids, int),
+        np.asarray(missed, int),
+    )
+
+
 def compute_errors(
     TCO_pred: np.ndarray,  # [N, 4, 4]
     TCO_gt: np.ndarray,  # [N, 4, 4]
@@ -171,42 +231,58 @@ class BOPScoreMeter:
         self.datas: dict[str, list] = defaultdict(list)
 
     def add(self, pred_data, gt_data, frame=None) -> None:
-        keys = tuple(
-            k
-            for k in ("scene_id", "view_id", "label", "instance_id")
-            if k in pred_data.infos.columns and k in gt_data.infos.columns
+        pred_ids, gt_ids, missed = match_predictions(
+            pred_data.infos, gt_data.infos
         )
-        matches = one_to_one_matching(pred_data.infos, gt_data.infos, keys=keys)
-        pred_ids = matches["pred_id"].to_numpy().astype(int)
-        gt_ids = matches["gt_id"].to_numpy().astype(int)
-        labels = matches["label"].tolist()
-        idx = self.mesh_db.label_to_index(labels)
-        meshes = self.mesh_db.select(idx)
-        pts = np.asarray(meshes.points)[:, : self.n_points]
-        TCO_pred = np.asarray(pred_data.poses)[pred_ids]
-        TCO_gt = np.asarray(gt_data.poses)[gt_ids]
-        K = np.asarray(gt_data.K)[gt_ids]
-        errs = compute_mssd_mspd(
-            TCO_pred,
-            TCO_gt,
-            pts,
-            K,
-            np.asarray(meshes.symmetries),
-            np.asarray(meshes.sym_valid),
-        )
-        self.datas["mssd"].extend(errs["mssd"].tolist())
-        self.datas["mspd"].extend(errs["mspd"].tolist())
-        diam = np.asarray(meshes.diameters)
-        self.datas["diameter"].extend(diam.tolist())
-        if frame is not None and frame.depth is not None:
-            # In-tree VSD via the on-device renderer (evaluation/vsd.py) —
-            # completes the BOP19 AR triple without the toolkit subprocess.
-            from .vsd import compute_vsd
+        if len(pred_ids):
+            labels = gt_data.infos["label"].iloc[gt_ids].tolist()
+            idx = self.mesh_db.label_to_index(labels)
+            meshes = self.mesh_db.select(idx)
+            pts = np.asarray(meshes.points)[:, : self.n_points]
+            TCO_pred = np.asarray(pred_data.poses)[pred_ids]
+            TCO_gt = np.asarray(gt_data.poses)[gt_ids]
+            K = np.asarray(gt_data.K)[gt_ids]
+            errs = compute_mssd_mspd(
+                TCO_pred,
+                TCO_gt,
+                pts,
+                K,
+                np.asarray(meshes.symmetries),
+                np.asarray(meshes.sym_valid),
+            )
+            self.datas["mssd"].extend(errs["mssd"].tolist())
+            self.datas["mspd"].extend(errs["mspd"].tolist())
+            diam = np.asarray(meshes.diameters)
+            self.datas["diameter"].extend(diam.tolist())
+            if frame is not None and frame.depth is not None:
+                # In-tree VSD via the on-device renderer
+                # (evaluation/vsd.py) — completes the BOP19 AR triple
+                # without the toolkit subprocess.
+                from .vsd import compute_vsd
 
-            e_vsd = compute_vsd(
-                frame.depth, TCO_pred, TCO_gt, K[0], meshes, diam
-            )  # [N, n_taus]
-            self.datas["vsd"].extend(e_vsd.tolist())
+                e_vsd = compute_vsd(
+                    frame.depth, TCO_pred, TCO_gt, K[0], meshes, diam
+                )  # [N, n_taus]
+                self.datas["vsd"].extend(e_vsd.tolist())
+        # GT instances with no prediction (detector misses) score as
+        # infinite error — they stay in the recall denominator, exactly
+        # like unestimated targets in bop_toolkit's pose_matching.
+        if len(missed):
+            m_labels = gt_data.infos["label"].iloc[missed].tolist()
+            m_diam = np.asarray(
+                self.mesh_db.select(
+                    self.mesh_db.label_to_index(m_labels)
+                ).diameters
+            )
+            self.datas["mssd"].extend([np.inf] * len(missed))
+            self.datas["mspd"].extend([np.inf] * len(missed))
+            self.datas["diameter"].extend(m_diam.tolist())
+            if frame is not None and frame.depth is not None:
+                from .vsd import BOP19_VSD_TAUS
+
+                self.datas["vsd"].extend(
+                    [[np.inf] * len(BOP19_VSD_TAUS)] * len(missed)
+                )
 
     def summary(self) -> dict[str, float]:
         mssd = np.asarray(self.datas["mssd"])
@@ -275,33 +351,41 @@ class ModelNetErrorMeter(Meter):
         gt_data: PandasTensorCollection,
         frame=None,
     ) -> None:
-        keys = tuple(
-            k
-            for k in ("scene_id", "view_id", "label", "instance_id")
-            if k in pred_data.infos.columns and k in gt_data.infos.columns
+        pred_ids, gt_ids, missed = match_predictions(
+            pred_data.infos, gt_data.infos
         )
-        matches = one_to_one_matching(
-            pred_data.infos, gt_data.infos, keys=keys,
-        )
-        pred_ids = matches["pred_id"].to_numpy().astype(int)
-        gt_ids = matches["gt_id"].to_numpy().astype(int)
-        labels = matches["label"].tolist()
-        idx = self.mesh_db.label_to_index(labels)
-        meshes = self.mesh_db.select(idx)
-        pts = np.asarray(meshes.points)[:, : self.n_points]
-        diam = np.asarray(meshes.diameters)
+        if len(pred_ids):
+            labels = gt_data.infos["label"].iloc[gt_ids].tolist()
+            idx = self.mesh_db.label_to_index(labels)
+            meshes = self.mesh_db.select(idx)
+            pts = np.asarray(meshes.points)[:, : self.n_points]
+            diam = np.asarray(meshes.diameters)
 
-        errs = compute_errors(
-            np.asarray(pred_data.poses)[pred_ids],
-            np.asarray(gt_data.poses)[gt_ids],
-            pts,
-            np.asarray(gt_data.K)[gt_ids],
-        )
-        self.datas["add"].extend(errs["add"].tolist())
-        self.datas["diameter"].extend(diam.tolist())
-        self.datas["rot_err_deg"].extend(errs["rot_err_deg"].tolist())
-        self.datas["trans_err"].extend(errs["trans_err"].tolist())
-        self.datas["proj2d"].extend(errs["proj2d"].tolist())
+            errs = compute_errors(
+                np.asarray(pred_data.poses)[pred_ids],
+                np.asarray(gt_data.poses)[gt_ids],
+                pts,
+                np.asarray(gt_data.K)[gt_ids],
+            )
+            self.datas["add"].extend(errs["add"].tolist())
+            self.datas["diameter"].extend(diam.tolist())
+            self.datas["rot_err_deg"].extend(errs["rot_err_deg"].tolist())
+            self.datas["trans_err"].extend(errs["trans_err"].tolist())
+            self.datas["proj2d"].extend(errs["proj2d"].tolist())
+        for gt_id in missed:  # detector misses: infinite error
+            m_label = gt_data.infos["label"].iloc[int(gt_id)]
+            m_diam = float(
+                np.asarray(
+                    self.mesh_db.select(
+                        self.mesh_db.label_to_index([m_label])
+                    ).diameters
+                )[0]
+            )
+            self.datas["add"].append(np.inf)
+            self.datas["diameter"].append(m_diam)
+            self.datas["rot_err_deg"].append(np.inf)
+            self.datas["trans_err"].append(np.inf)
+            self.datas["proj2d"].append(np.inf)
 
     def summary(self) -> dict[str, float]:
         add = np.asarray(self.datas["add"])
@@ -310,10 +394,14 @@ class ModelNetErrorMeter(Meter):
         trans = np.asarray(self.datas["trans_err"])
         proj = np.asarray(self.datas["proj2d"])
         n = max(len(add), 1)
+        finite = np.isfinite(add)
         return {
             "n": int(len(add)),
+            "n_missed": int((~finite).sum()),
             "ADD_0.1d": float((add < 0.1 * diam).sum() / n),
             "5deg_5cm": float(((rot < 5.0) & (trans < 0.05)).sum() / n),
             "proj2d_5px": float((proj < 5.0).sum() / n),
-            "add_mean": float(add.mean()) if len(add) else float("nan"),
+            "add_mean": float(add[finite].mean())
+            if finite.any()
+            else float("nan"),
         }

@@ -98,6 +98,16 @@ class PoseEstimator:
         # Hierarchical coarse scoring: probe grid + Voronoi child table
         # (see InferenceConfig.SO3_prune_grid_size).
         if cfg.SO3_prune_grid_size:
+            if device_mesh is not None:
+                # The shard_map multi-chip coarse path scores the full
+                # grid; pruning there needs a per-shard top-k + gather
+                # (future work). Fail loudly rather than silently
+                # benching "pruned" at full-grid cost.
+                raise NotImplementedError(
+                    "SO3_prune_grid_size is not supported together with "
+                    "device_mesh yet; the sharded coarse path always "
+                    "scores the full grid."
+                )
             self.so3_prune_grid = so3_grid.make_so3_grid(
                 cfg.SO3_prune_grid_size
             )
@@ -437,14 +447,13 @@ class PoseEstimator:
         K: Array,
         boxes: Array,
         mesh_idx: Array,
-        grid: Array,
     ):
         """The ENTIRE pipeline (coarse -> top-K -> scan-refiner ->
         re-score -> top-1) as one XLA program: no host round-trips
         between phases (the per-phase path keeps them for timing parity
-        with the reference's CudaTimer splits)."""
+        with the reference's CudaTimer splits). The rotation vocabulary
+        is self.so3_grid (plus the probe grid in hierarchical mode)."""
         D = boxes.shape[0]
-        M = grid.shape[0]
         logits, TCO_init = self._coarse_stage_impl(
             chunk_images, coarse_params, images, K, boxes, mesh_idx
         )
@@ -511,7 +520,6 @@ class PoseEstimator:
             jnp.asarray(observation.K),
             jnp.asarray(boxes),
             jnp.asarray(mesh_idx),
-            grid,
         )
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):  # older jax returns [dict]
@@ -673,7 +681,6 @@ class PoseEstimator:
                 K,
                 jnp.asarray(boxes),
                 jnp.asarray(mesh_idx),
-                grid,
             )
             jax.block_until_ready(out)
             timing["total"] = time.monotonic() - t_start

@@ -34,7 +34,7 @@ def init_distributed_mode() -> tuple[int, int]:
     import os
 
     addr = os.environ.get("COORDINATOR_ADDRESS")
-    if addr and "WORLD_SIZE" in os.environ:
+    if addr and "WORLD_SIZE" in os.environ and "RANK" in os.environ:
         # Must run before any JAX backend touch (jax.devices() etc.).
         jax.distributed.initialize(
             coordinator_address=addr,

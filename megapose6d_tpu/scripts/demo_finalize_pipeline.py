@@ -39,6 +39,7 @@ def main(argv=None):
         coarse_steps="800", epoch="", so3="576", n_eval="16",
         refine_iters="3", backbone="resnet18-spatial", render="240,320",
         batch_size="32", coarse_dir="", coarse_epoch="", lod_ab="0",
+        prune_ab="0",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -197,6 +198,32 @@ def main(argv=None):
         }
         logger.info(f"LOD A/B: {json.dumps(lod_report)}")
 
+    prune_report = None
+    if args["prune_ab"] == "1":
+        # A/B: hierarchical coarse scoring (probe 72 + top-8 parents'
+        # Voronoi children, ~160 scored hypotheses) vs the full 576
+        # sweep — the accuracy check gating the bench's pruned row.
+        est_pruned = PoseEstimator(
+            coarse, coarse_state.params, refiner, ref_state.params,
+            mesh_db,
+            dataclasses.replace(
+                icfg, SO3_prune_grid_size=72, SO3_prune_keep=8
+            ),
+        )
+        p_add, p_rot, p_tr, p_poses = run_pipeline_eval(est_pruned, "pruned")
+        same_top1 = [
+            float(np.allclose(a, b, atol=1e-5))
+            for a, b in zip(pipe_poses, p_poses)
+        ]
+        prune_report = {
+            "top1_pose_agreement_frac": float(np.mean(same_top1)),
+            "add_mm_full": float(np.median(pipe_add) * 1000),
+            "add_mm_pruned": float(np.median(p_add) * 1000),
+            "rot_deg_full": float(np.median(pipe_rot)),
+            "rot_deg_pruned": float(np.median(p_rot)),
+        }
+        logger.info(f"prune A/B: {json.dumps(prune_report)}")
+
     diam = float(np.asarray(mesh_db.diameters).mean())
     report = {
         "refiner_checkpoint_step": loaded_epoch,
@@ -225,6 +252,7 @@ def main(argv=None):
         "so3_grid": int(args["so3"]),
         "coarse_dir": args["coarse_dir"] or None,
         "lod_ab": lod_report,
+        "prune_ab": prune_report,
     }
     (out_dir / "report.json").write_text(json.dumps(report, indent=2))
     logger.info(json.dumps(report, indent=2))

@@ -118,7 +118,10 @@ class TrainingConfig:
         )
 
 
-def _coerce(value: str, current: Any) -> Any:
+def _coerce(value: str, current: Any, hint: str = "") -> Any:
+    """String -> field value, typed by the current value or (when the
+    default is None) the dataclass annotation string `hint`. Shared by
+    the training and eval CLIs (the one dotlist syntax)."""
     if isinstance(current, bool):
         return value.lower() in ("1", "true", "yes")
     if isinstance(current, int):
@@ -129,7 +132,17 @@ def _coerce(value: str, current: Any) -> Any:
         parts = [p for p in value.strip("[]() ").split(",") if p]
         elem = current[0] if current else value
         return tuple(type(elem)(p.strip()) for p in parts)
-    if current is None:
+    if isinstance(current, list) or (current is None and "list" in hint):
+        try:
+            out = json.loads(value)
+            return out if isinstance(out, list) else [out]
+        except json.JSONDecodeError:
+            return [p.strip() for p in value.split(",") if p.strip()]
+    if current is None and "int" in hint:
+        return int(value)
+    if current is None and "float" in hint:
+        return float(value)
+    if current is None and not hint:
         try:
             return json.loads(value)
         except json.JSONDecodeError:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import base64
 import json
+from html import escape as html_escape
 from pathlib import Path
 
 import numpy as np
@@ -44,14 +45,20 @@ def _b64(arr: np.ndarray, dtype) -> dict:
 
 
 def get_pointcloud(
-    depth: np.ndarray, K: np.ndarray, max_points: int = 100_000
-) -> np.ndarray:
+    depth: np.ndarray,
+    K: np.ndarray,
+    max_points: int = 100_000,
+    return_pixels: bool = False,
+):
     """Back-project a depth image to camera-frame points
-    (meshcat_utils.py:get_pointcloud:278-300)."""
+    (meshcat_utils.py:get_pointcloud:278-300).
+
+    With `return_pixels=True` also returns the (v, u) pixel coordinates
+    of each returned point — subsampling keeps them paired, so callers
+    can look up per-point colors without misalignment."""
     depth = np.asarray(depth)
     if depth.ndim == 3:
         depth = depth[..., 0]
-    h, w = depth.shape
     vs, us = np.nonzero(depth > 0)
     zs = depth[vs, us]
     xs = (us - K[0, 2]) * zs / K[0, 0]
@@ -61,8 +68,9 @@ def get_pointcloud(
         idx = np.random.default_rng(0).choice(
             len(pts), max_points, replace=False
         )
-        pts = pts[idx]
-    return pts.astype(np.float32)
+        pts, vs, us = pts[idx], vs[idx], us[idx]
+    pts = pts.astype(np.float32)
+    return (pts, vs, us) if return_pixels else pts
 
 
 class SceneViewer:
@@ -223,8 +231,9 @@ class SceneViewer:
             )
             self.add_frame(f"gt_frame/{obj.label}", obj.TWO, length=0.05)
         if obs.depth is not None and obs.camera_data is not None:
-            pts = get_pointcloud(
-                obs.depth, obs.camera_data.K, max_points=max_points
+            pts, vs, us = get_pointcloud(
+                obs.depth, obs.camera_data.K, max_points=max_points,
+                return_pixels=True,
             )
             TWC = (
                 obs.camera_data.TWC
@@ -233,11 +242,7 @@ class SceneViewer:
             )
             rgb = None
             if obs.rgb is not None:
-                d = np.asarray(obs.depth)
-                if d.ndim == 3:
-                    d = d[..., 0]
-                vs, us = np.nonzero(d > 0)
-                rgb = obs.rgb[vs, us][: len(pts)] / 255.0
+                rgb = obs.rgb[vs, us] / 255.0
             self.add_pointcloud("depth", pts, colors=rgb, T=TWC)
         if obs.camera_data is not None:
             TWC = (
@@ -277,8 +282,14 @@ class SceneViewer:
     def write_html(self, path: str | Path) -> Path:
         path = Path(path)
         payload = json.dumps({"title": self.title, "nodes": self.nodes})
-        html = _HTML_TEMPLATE.replace("__TITLE__", self.title).replace(
-            "__SCENE_JSON__", payload.replace("</", "<\\/")
+        # The payload rides in a <script type="application/json"> block —
+        # immune to quote/backslash content in titles or node names; the
+        # only sequence that could terminate the block is "</script>",
+        # prevented by the (JSON-legal) "<\/" escape.
+        html = (
+            _HTML_TEMPLATE.replace(
+                "__TITLE__", html_escape(self.title)
+            ).replace("__SCENE_JSON__", payload.replace("</", "<\\/"))
         )
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_text(html)
@@ -308,9 +319,12 @@ _HTML_TEMPLATE = r"""<!DOCTYPE html>
 <div id="panel"></div>
 <div id="hint">drag: orbit &middot; shift-drag / right-drag: pan &middot;
 wheel: zoom</div>
+<script type="application/json" id="scene-data">__SCENE_JSON__</script>
 <script>
 "use strict";
-const SCENE = JSON.parse('__SCENE_JSON__'.replace(/<\\\//g, "</"));
+const SCENE = JSON.parse(
+  document.getElementById("scene-data").textContent
+);
 
 function decode(b) {
   const raw = atob(b.data), n = raw.length;

@@ -193,6 +193,55 @@ def test_one_to_one_matching():
     assert m.iloc[0]["label"] == "b" and m.iloc[0]["pred_id"] == 1
 
 
+def test_match_predictions_detector_order_and_misses():
+    """Detector-driven eval: detection-order instance_ids + missed
+    objects must fall back to BOP-style greedy matching, not crash."""
+    from megapose6d_tpu.evaluation import match_predictions
+
+    # Exact path: GT-driven detections (aligned instance_ids).
+    gt = pd.DataFrame(
+        {"label": ["a", "b"], "instance_id": [0, 1],
+         "scene_id": [0, 0], "view_id": [1, 1]}
+    )
+    pred = pd.DataFrame(
+        {"label": ["b", "a"], "instance_id": [1, 0],
+         "scene_id": [0, 0], "view_id": [1, 1]}
+    )
+    p_ids, g_ids, missed = match_predictions(pred, gt)
+    assert len(missed) == 0
+    assert list(pred["label"].iloc[p_ids]) == list(gt["label"].iloc[g_ids])
+
+    # Greedy path: instance ids in detection order (label 'a' has id 1 in
+    # pred but 0 in gt), and 'b' is missed entirely.
+    pred2 = pd.DataFrame(
+        {"label": ["c", "a"], "instance_id": [0, 1],
+         "scene_id": [0, 0], "view_id": [1, 1],
+         "score": [0.9, 0.8]}
+    )
+    gt2 = pd.DataFrame(
+        {"label": ["a", "b", "c"], "instance_id": [0, 1, 2],
+         "scene_id": [0, 0, 0], "view_id": [1, 1, 1]}
+    )
+    p_ids, g_ids, missed = match_predictions(pred2, gt2)
+    assert list(pred2["label"].iloc[p_ids]) == list(gt2["label"].iloc[g_ids])
+    assert len(p_ids) == 2
+    assert list(gt2["label"].iloc[missed]) == ["b"]
+
+    # Same-label multi-instance: two preds, three gts -> best-score pred
+    # pairs first, one miss.
+    pred3 = pd.DataFrame(
+        {"label": ["x", "x"], "instance_id": [0, 1],
+         "scene_id": [0, 0], "view_id": [1, 1], "score": [0.5, 0.9]}
+    )
+    gt3 = pd.DataFrame(
+        {"label": ["x", "x", "x"], "instance_id": [5, 6, 7],
+         "scene_id": [0, 0, 0], "view_id": [1, 1, 1]}
+    )
+    p_ids, g_ids, missed = match_predictions(pred3, gt3)
+    assert len(p_ids) == 2 and len(missed) == 1
+    assert p_ids[0] == 1  # higher score claims the first gt
+
+
 def test_mssd_mspd_and_bop_score_meter(bop_root):
     from megapose6d_tpu.evaluation import BOPScoreMeter, compute_mssd_mspd
 

@@ -16,9 +16,13 @@ from megapose6d_tpu.visualization.scene_viewer import (
 
 
 def _scene_json(html: str) -> dict:
-    m = re.search(r"JSON\.parse\('(.*)'\.replace", html, re.S)
+    m = re.search(
+        r'<script type="application/json" id="scene-data">(.*?)</script>',
+        html,
+        re.S,
+    )
     assert m, "embedded scene payload not found"
-    return json.loads(m.group(1).replace("<\\/", "</"))
+    return json.loads(m.group(1))
 
 
 def test_viewer_writes_standalone_html(tmp_path):
@@ -96,3 +100,25 @@ def test_viewer_from_scene_observation(tmp_path):
             "pred/0_cube", "pred_frame/0_cube"} <= names
     pred = next(n for n in scene["nodes"] if n["name"] == "pred/0_cube")
     assert pred["opacity"] < 1.0
+
+
+def test_viewer_hostile_title_and_names(tmp_path):
+    """Quotes/backslashes in titles or node names must not break the
+    embedded payload (single-quoted-JS-literal regression)."""
+    viewer = SceneViewer(title="bob's \\ <scenes> \"quoted\"")
+    cube = make_cube(0.02)
+    viewer.add_mesh("it's a </script> cube", cube.vertices, cube.faces)
+    out = viewer.write_html(tmp_path / "scene.html")
+    scene = _scene_json(out.read_text())
+    assert scene["title"] == "bob's \\ <scenes> \"quoted\""
+    assert scene["nodes"][0]["name"] == "it's a </script> cube"
+
+
+def test_pointcloud_color_alignment():
+    """Subsampled point clouds keep (point, pixel) pairs aligned."""
+    rng = np.random.default_rng(1)
+    depth = rng.uniform(0.5, 1.5, (40, 50)).astype(np.float32)
+    K = np.asarray([[50.0, 0, 25], [0, 50.0, 20], [0, 0, 1]])
+    pts, vs, us = get_pointcloud(depth, K, max_points=100, return_pixels=True)
+    assert len(pts) == len(vs) == len(us) == 100
+    np.testing.assert_allclose(pts[:, 2], depth[vs, us], rtol=1e-6)
