@@ -142,6 +142,22 @@ def load_or_init_models(
     return coarse, cparams, refiner, rparams, mesh_db
 
 
+def vis_detections(args) -> None:
+    """`--vis-detections`: overlay the input boxes on the RGB image
+    (reference run_inference_on_example.py visualization step)."""
+    from ..visualization.plotter import plot_detections
+
+    example_dir = Path(args.example_dir)
+    observation = load_observation(example_dir, load_depth=False)
+    detections = load_detections(example_dir)
+    out = example_dir / "visualizations" / "detections.png"
+    out.parent.mkdir(exist_ok=True)
+    plot_detections(
+        np.asarray(observation.images[0]), detections, out_path=out
+    )
+    logger.info(f"wrote {out}")
+
+
 def run_inference(args) -> None:
     example_dir = Path(args.example_dir)
     observation = load_observation(example_dir, load_depth=args.depth)
@@ -196,6 +212,22 @@ def run_inference(args) -> None:
         html = viewer.write_html(example_dir / "outputs" / "scene.html")
         logger.info(f"wrote {html}")
 
+        from ..visualization.plotter import plot_pose_overlay
+
+        overlay_path = (
+            example_dir / "visualizations" / "pose_overlay.png"
+        )
+        overlay_path.parent.mkdir(exist_ok=True)
+        plot_pose_overlay(
+            np.asarray(observation.images[0]),
+            mesh_db,
+            list(data.infos["label"]),
+            np.asarray(data.poses),
+            K,
+            out_path=overlay_path,
+        )
+        logger.info(f"wrote {overlay_path}")
+
 
 def main(argv=None):
     from ..utils.compile_cache import enable_persistent_compilation_cache
@@ -214,12 +246,21 @@ def main(argv=None):
     parser.add_argument(
         "--vis-outputs",
         action="store_true",
-        help="write outputs/scene.html interactive 3D viewer",
+        help="write outputs/scene.html interactive 3D viewer + "
+        "visualizations/pose_overlay.png",
+    )
+    parser.add_argument(
+        "--vis-detections",
+        action="store_true",
+        help="write visualizations/detections.png (input boxes overlay, "
+        "the reference tutorial's first step)",
     )
     args = parser.parse_args(argv)
+    if args.vis_detections:
+        vis_detections(args)
     if args.run_inference:
         run_inference(args)
-    else:
+    elif not args.vis_detections:
         parser.print_help()
 
 
