@@ -98,16 +98,6 @@ class PoseEstimator:
         # Hierarchical coarse scoring: probe grid + Voronoi child table
         # (see InferenceConfig.SO3_prune_grid_size).
         if cfg.SO3_prune_grid_size:
-            if device_mesh is not None:
-                # The shard_map multi-chip coarse path scores the full
-                # grid; pruning there needs a per-shard top-k + gather
-                # (future work). Fail loudly rather than silently
-                # benching "pruned" at full-grid cost.
-                raise NotImplementedError(
-                    "SO3_prune_grid_size is not supported together with "
-                    "device_mesh yet; the sharded coarse path always "
-                    "scores the full grid."
-                )
             self.so3_prune_grid = so3_grid.make_so3_grid(
                 cfg.SO3_prune_grid_size
             )
@@ -251,18 +241,21 @@ class PoseEstimator:
     def _init_hypotheses(
         self, K: Array, boxes: Array, mesh_idx: Array, grid: Array
     ) -> Array:
-        """TCO_init [D, M, 4, 4] from boxes x grid rotations."""
+        """TCO_init [D, M, 4, 4] from boxes x grid rotations. `grid` is
+        [M, 3, 3] shared or [D, M, 3, 3] per-detection."""
         meshes_d = self.mesh_db.select(mesh_idx)
         points = meshes_d.points
 
-        def init_d(box, pts):
+        def init_d(box, pts, R_all):
             return jax.vmap(
                 lambda R: tco_init_from_boxes_autodepth_with_R(
                     box[None], pts[None], K, R[None]
                 )[0]
-            )(grid)
+            )(R_all)
 
-        return jax.vmap(init_d)(boxes, points)
+        if grid.ndim == 3:
+            return jax.vmap(lambda b, p: init_d(b, p, grid))(boxes, points)
+        return jax.vmap(init_d)(boxes, points, grid)
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _coarse_logits_sharded(
@@ -721,30 +714,60 @@ class PoseEstimator:
         t0 = time.monotonic()
         if self.device_mesh is not None:
             # Hypothesis axis sharded across chips (shard_map over 'dp').
-            TCO_init = self._init_hypotheses(
-                K, jnp.asarray(boxes), jnp.asarray(mesh_idx), grid
-            )
-            n = D * M
             n_dev = int(self.device_mesh.devices.size)
-            per_dev = -(-n // (n_dev * chunk)) * chunk
-            n_pad = per_dev * n_dev
-            flat_TCO = jnp.concatenate(
-                [
-                    TCO_init.reshape(n, 4, 4),
-                    jnp.tile(
-                        jnp.eye(4, dtype=TCO_init.dtype), (n_pad - n, 1, 1)
-                    ),
-                ]
-            )
-            flat_idx = jnp.concatenate(
-                [
-                    jnp.repeat(jnp.asarray(mesh_idx), M),
-                    jnp.zeros((n_pad - n,), jnp.int32),
-                ]
-            )
-            logits = self._coarse_logits_sharded(
-                chunk, self.coarse_params, images, K, flat_TCO, flat_idx
-            )[:n].reshape(D, M)
+
+            def sharded_scores(TCO_dm):
+                """Score [D, M', 4, 4] hypotheses over the mesh."""
+                D_, M_ = TCO_dm.shape[:2]
+                n = D_ * M_
+                per_dev = -(-n // (n_dev * chunk)) * chunk
+                n_pad = per_dev * n_dev
+                flat_TCO = jnp.concatenate(
+                    [
+                        TCO_dm.reshape(n, 4, 4),
+                        jnp.tile(
+                            jnp.eye(4, dtype=TCO_dm.dtype),
+                            (n_pad - n, 1, 1),
+                        ),
+                    ]
+                )
+                flat_idx = jnp.concatenate(
+                    [
+                        jnp.repeat(jnp.asarray(mesh_idx), M_),
+                        jnp.zeros((n_pad - n,), jnp.int32),
+                    ]
+                )
+                return self._coarse_logits_sharded(
+                    chunk, self.coarse_params, images, K, flat_TCO,
+                    flat_idx,
+                )[:n].reshape(D_, M_)
+
+            if cfg.SO3_prune_grid_size:
+                # Hierarchical mode, sharded: probe sweep -> top parents
+                # -> children sweep; both sweeps ride the 'dp' axis.
+                probe_TCO = self._init_hypotheses(
+                    K, jnp.asarray(boxes), jnp.asarray(mesh_idx),
+                    self.so3_prune_grid,
+                )
+                logits1 = sharded_scores(probe_TCO)
+                P_keep = min(
+                    cfg.SO3_prune_keep, self.so3_prune_grid.shape[0]
+                )
+                _, top_parents = jax.lax.top_k(logits1, P_keep)
+                cand = self.prune_children[top_parents].reshape(D, -1)
+                valid = self.prune_child_valid[top_parents].reshape(D, -1)
+                TCO_init = self._init_hypotheses(
+                    K, jnp.asarray(boxes), jnp.asarray(mesh_idx),
+                    grid[cand],
+                )
+                logits = jnp.where(
+                    valid, sharded_scores(TCO_init), -jnp.inf
+                )
+            else:
+                TCO_init = self._init_hypotheses(
+                    K, jnp.asarray(boxes), jnp.asarray(mesh_idx), grid
+                )
+                logits = sharded_scores(TCO_init)
         else:
             logits, TCO_init = self._coarse_stage(
                 chunk,
