@@ -218,6 +218,9 @@ def run_inference(args) -> None:
             example_dir / "visualizations" / "pose_overlay.png"
         )
         overlay_path.parent.mkdir(exist_ok=True)
+        contour_path = (
+            example_dir / "visualizations" / "contour_overlay.png"
+        )
         plot_pose_overlay(
             np.asarray(observation.images[0]),
             mesh_db,
@@ -225,8 +228,9 @@ def run_inference(args) -> None:
             np.asarray(data.poses),
             K,
             out_path=overlay_path,
+            contour_out_path=contour_path,
         )
-        logger.info(f"wrote {overlay_path}")
+        logger.info(f"wrote {overlay_path} and {contour_path}")
 
 
 def main(argv=None):

@@ -57,8 +57,11 @@ def plot_pose_overlay(
     K: np.ndarray,
     out_path: str | Path | None = None,
     alpha: float = 0.6,
+    contour_out_path: str | Path | None = None,
 ):
-    """Blend renders of the estimated poses over the observation."""
+    """Blend renders of the estimated poses over the observation.
+    `contour_out_path` additionally writes the reference's signature
+    contour-overlay image (silhouette outline over the RGB)."""
     import jax.numpy as jnp
 
     from ..ops import rasterizer
@@ -86,6 +89,11 @@ def plot_pose_overlay(
         from PIL import Image
 
         Image.fromarray(overlay).save(out_path)
+    if contour_out_path is not None:
+        union = np.zeros(rgb.shape[:2], bool)
+        for b in range(B):
+            union |= np.asarray(out.mask[b])
+        make_contour_overlay(rgb, union, out_path=contour_out_path)
     return overlay
 
 
@@ -110,3 +118,39 @@ def save_image_grid(
         ]
     Image.fromarray(grid).save(out_path)
     return grid
+
+
+def make_contour_overlay(
+    rgb: np.ndarray,
+    mask: np.ndarray,
+    color=(0, 255, 0),
+    thickness: int = 2,
+    out_path: str | Path | None = None,
+) -> np.ndarray:
+    """Draw the silhouette contour of a rendered-pose mask over the
+    observation — the reference's signature output image
+    (visualization/utils.py:make_contour_overlay:56-85). Edge extraction
+    is a morphological gradient (binary dilation minus erosion) instead
+    of cv2.Canny; `thickness` plays the role of dilate_iterations."""
+    img = _to_uint8(rgb).copy()
+    m = np.asarray(mask).astype(bool)
+    if m.ndim == 3:
+        m = m[..., 0]
+
+    def shift_or(a, k):
+        out = np.zeros_like(a)
+        for dv in range(-k, k + 1):
+            for du in range(-k, k + 1):
+                s = np.roll(np.roll(a, dv, axis=0), du, axis=1)
+                out |= s
+        return out
+
+    dil = shift_or(m, thickness)
+    ero = ~shift_or(~m, thickness)
+    edge = dil & ~ero
+    img[edge] = np.asarray(color, np.uint8)
+    if out_path:
+        from PIL import Image
+
+        Image.fromarray(img).save(out_path)
+    return img
