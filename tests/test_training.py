@@ -393,3 +393,23 @@ def test_resume_matches_continuous_run(mesh_db, tmp_path):
             rtol=1e-5,
             err_msg=f"epoch {epoch} diverged after resume",
         )
+
+
+def test_synthetic_batch_renderer_paths_agree(mesh_db):
+    """The tiled-kernel batch generator (TPU default) must produce the
+    same batches as the scan baseline (CPU default)."""
+    fn_scan = synthetic_batch_fn(
+        mesh_db, 2, INPUT, f=120.0, face_chunk=32, renderer="scan"
+    )
+    fn_tiled = synthetic_batch_fn(
+        mesh_db, 2, INPUT, f=120.0, face_chunk=32, renderer="tiled"
+    )
+    key = jax.random.PRNGKey(0)
+    a, b = fn_scan(key), fn_tiled(key)
+    np.testing.assert_allclose(
+        np.asarray(a.rgbs), np.asarray(b.rgbs), atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(a.TCO), np.asarray(b.TCO))
+    np.testing.assert_allclose(
+        np.asarray(a.bboxes), np.asarray(b.bboxes), atol=1e-3
+    )
