@@ -48,7 +48,7 @@ logger = get_logger(__name__)
 def main(argv=None):
     args = dict(
         out_dir="coarse_long", n_steps="30000", batch_size="32",
-        eval_every="2000", max_seconds="1200", grid="64",
+        eval_every="2000", max_seconds="1200", grid="64,576",
         backbone="resnet18-spatial", render="240,320", lr="3e-4", seed="0",
         n_eval="32",
     )
@@ -96,15 +96,15 @@ def main(argv=None):
 
     # ----- ranking eval: grid-score held-out scenes -------------------
     n_eval = int(args["n_eval"])
-    G = int(args["grid"])
+    grids = [int(g) for g in args["grid"].split(",")]
     eval_batch = jax.jit(
         synthetic_batch_fn(mesh_db, n_eval, input_res, f=400.0)
     )(jax.random.PRNGKey(9999))
     eval_meshes = mesh_db.select(eval_batch.mesh_idx)
-    R_grid = make_so3_grid(G)  # [G, 3, 3]
 
-    def grid_scores(params, i):
+    def grid_scores(params, i, R_grid):
         """Scores [G] for scene i (G hypotheses batched)."""
+        G = R_grid.shape[0]
         boxes = jnp.broadcast_to(eval_batch.bboxes[i], (G, 4))
         K = jnp.broadcast_to(eval_batch.K[i], (G, 3, 3))
         pts = jnp.broadcast_to(
@@ -122,16 +122,18 @@ def main(argv=None):
         )
         return out["logits"][:, 0]
 
-    grid_scores_j = jax.jit(grid_scores)
+    grid_scores_j = jax.jit(grid_scores, static_argnums=())
     history_path = out_dir / "history.json"
     history = (
         json.loads(history_path.read_text()) if history_path.exists() else []
     )
 
-    def run_eval(step):
+    def run_eval_grid(step, G):
+        R_grid = make_so3_grid(G)
         top1_err, top4_hit = [], []
+        floors = []
         for i in range(n_eval):
-            s = np.asarray(grid_scores_j(state.params, i))
+            s = np.asarray(grid_scores_j(state.params, i, R_grid))
             R_gt = np.asarray(eval_batch.TCO[i, :3, :3])
             errs = np.degrees(
                 np.asarray(
@@ -143,6 +145,7 @@ def main(argv=None):
             order = np.argsort(-s)
             top1_err.append(float(errs[order[0]]))
             best_reachable = errs.min()
+            floors.append(float(best_reachable))
             top4_hit.append(
                 float(errs[order[:4]].min() <= best_reachable + 15.0)
             )
@@ -151,33 +154,22 @@ def main(argv=None):
             "grid": G,
             "top1_rot_err_deg_median": float(np.median(top1_err)),
             "top4_within_15deg_of_best_frac": float(np.mean(top4_hit)),
-            "grid_best_reachable_deg_median": float(
-                np.median(
-                    [
-                        float(
-                            np.degrees(
-                                np.asarray(
-                                    geodesic_distance(
-                                        jnp.asarray(R_grid),
-                                        jnp.asarray(
-                                            eval_batch.TCO[i, :3, :3]
-                                        )[None],
-                                    )
-                                )
-                            ).min()
-                        )
-                        for i in range(n_eval)
-                    ]
-                )
-            ),
+            "grid_best_reachable_deg_median": float(np.median(floors)),
         }
         history.append(rec)
         history_path.write_text(json.dumps(history, indent=1))
         logger.info(
-            f"[eval @ {step}] top1 rot err {rec['top1_rot_err_deg_median']:.1f} deg "
+            f"[eval @ {step}, grid {G}] top1 rot err "
+            f"{rec['top1_rot_err_deg_median']:.1f} deg "
             f"(grid floor {rec['grid_best_reachable_deg_median']:.1f}) | "
             f"top4 near-best {rec['top4_within_15deg_of_best_frac']:.0%}"
         )
+        return rec
+
+    def run_eval(step):
+        rec = None
+        for G in grids:
+            rec = run_eval_grid(step, G)
         return rec
 
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), start_step)
