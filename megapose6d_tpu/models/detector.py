@@ -207,8 +207,14 @@ def segmentation_loss(
     synthetic training data)."""
     seg = outputs["seg"]  # [B, h, w, C]
     B, h, w, C = seg.shape
-    # Nearest-neighbor downsample of the label map to head stride.
-    tgt = gt_seg[:, ::stride, ::stride][:, :h, :w]
+    # Nearest-neighbor downsample of the label map to head stride; crop
+    # BOTH to the common extent (the backbone pads inputs to multiples of
+    # its total stride, so the head can be larger than label_map/stride).
+    tgt = gt_seg[:, ::stride, ::stride]
+    mh = min(h, tgt.shape[1])
+    mw = min(w, tgt.shape[2])
+    seg = seg[:, :mh, :mw]
+    tgt = tgt[:, :mh, :mw]
     onehot = jax.nn.one_hot(tgt, C)  # bg (-1) -> all-zeros row
     p = jax.nn.sigmoid(seg)
     bce = -(onehot * jnp.log(jnp.maximum(p, 1e-6))

@@ -137,9 +137,19 @@ def main(argv=None):
         jax.random.PRNGKey(0),
         jnp.zeros((1,) + resolution + (3,), jnp.float32),
     )
-    tx = optax.adam(float(args["lr"]))
+    n_steps = int(args["n_steps"])
+    # Warmup + cosine decay (constant LR stalls CenterNet heatmap
+    # training past ~1-2k steps; reference trains its detector with a
+    # multi-step decay schedule).
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=float(args["lr"]),
+        warmup_steps=min(500, max(1, n_steps // 10)),
+        decay_steps=max(n_steps, 2),
+        end_value=float(args["lr"]) * 0.01,
+    )
+    tx = optax.adam(sched)
     opt_state = tx.init(params)
-    batch_fn = make_batch_fn(
+    batch_fn = make_batch_fn(  # already jitted (one XLA program)
         mesh_db, batch_size, resolution, n_obj, with_seg=predict_masks
     )
 
@@ -171,7 +181,7 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(int(args["seed"]))
     t0 = time.monotonic()
-    for i in range(int(args["n_steps"])):
+    for i in range(n_steps):
         key, sub = jax.random.split(key)
         batch = batch_fn(sub)
         rgbs, boxes, classes, valids = batch[:4]
@@ -270,7 +280,9 @@ def evaluate_detector(
                         s = cfg.stride
                         pm = seg_pred[b, :, :, c] > 0
                         gm = seg[b][::s, ::s] == c
-                        gm = gm[: pm.shape[0], : pm.shape[1]]
+                        mh = min(pm.shape[0], gm.shape[0])
+                        mw = min(pm.shape[1], gm.shape[1])
+                        pm, gm = pm[:mh, :mw], gm[:mh, :mw]
                         u = (pm | gm).sum()
                         if u:
                             mask_ious.append(float((pm & gm).sum() / u))
