@@ -71,7 +71,7 @@ def main(argv=None):
         refiner_dir="/tmp/demo_long", coarse_dir="/tmp/coarse_grid",
         out_dir="ar_baseline", n_frames="24", so3="576", refine_iters="3",
         backbone="resnet18-spatial", render="240,320", n_hyp="4",
-        detector_dir="",
+        detector_dir="", depth_refine="0",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -158,6 +158,29 @@ def main(argv=None):
         scene_ds, {"bop": BOPScoreMeter(mesh_db, image_width=w)}
     ).evaluate(final)
 
+    depth_summary = None
+    if args["depth_refine"] == "1":
+        # ICP depth refinement on top of the RGB pipeline (reference
+        # NAMED_MODELS '-icp' variants, pose_estimator.py:616-621).
+        import dataclasses as _dc
+
+        from ..inference.depth_refiner import ICPRefiner
+
+        est_icp = PoseEstimator(
+            coarse, coarse_state.params, refiner, ref_state.params,
+            mesh_db,
+            _dc.replace(estimator.cfg, run_depth_refiner=True),
+            depth_refiner=ICPRefiner(mesh_db),
+        )
+        icp_runner = PredictionRunner(
+            scene_ds, est_icp, detection_type="gt"
+        )
+        icp_final = icp_runner.get_predictions()["final"]
+        depth_summary = EvaluationRunner(
+            scene_ds, {"bop": BOPScoreMeter(mesh_db, image_width=w)}
+        ).evaluate(icp_final)
+        logger.info(f"depth-refined summary: {depth_summary}")
+
     det_summary = None
     if args["detector_dir"]:
         # Pipeline from DETECTOR boxes (reference detection_type=
@@ -191,6 +214,10 @@ def main(argv=None):
         "summary_from_detector": (
             det_summary.get("bop", det_summary)
             if isinstance(det_summary, dict) else det_summary
+        ),
+        "summary_depth_refined": (
+            depth_summary.get("bop", depth_summary)
+            if isinstance(depth_summary, dict) else depth_summary
         ),
     }
     (out_dir / "report.json").write_text(
