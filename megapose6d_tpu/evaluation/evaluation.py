@@ -129,26 +129,10 @@ def run_eval(
     if object_ds is None:
         object_ds = make_object_dataset(cfg.ds_name)
 
-    if cfg.skip_inference:
-        # Re-score existing results without re-running the pipeline
-        # (reference EvalConfig.skip_inference, eval_config.py:71).
-        results_path = save_dir / "results.npz"
-        assert results_path.exists(), (
-            f"skip_inference=True but no saved predictions at {results_path}"
-        )
-        preds = load_predictions(results_path)
-        final = preds["final"]
+    def score_and_save(final, mesh_db) -> dict:
+        """Meter the 'final' predictions and persist summary.json."""
         summary: dict = {}
         if not cfg.skip_evaluation and len(final):
-            from ..scripts.run_inference_on_example import (
-                load_or_init_models,
-            )
-
-            *_, mesh_db = load_or_init_models(
-                object_ds, None, None,
-                render_size=tuple(cfg.render_size),
-                max_faces=cfg.max_faces,
-            )
             h, w = (
                 scene_ds[0].rgb.shape[:2] if len(scene_ds) else (480, 640)
             )
@@ -160,11 +144,28 @@ def run_eval(
             (save_dir / "summary.json").write_text(
                 json.dumps(summary, indent=2, default=str)
             )
+        return summary
+
+    if cfg.skip_inference:
+        # Re-score existing results without re-running the pipeline
+        # (reference EvalConfig.skip_inference, eval_config.py:71).
+        results_path = save_dir / "results.npz"
+        assert results_path.exists(), (
+            f"skip_inference=True but no saved predictions at {results_path}"
+        )
+        preds = load_predictions(results_path)
+        from ..scripts.run_inference_on_example import load_or_init_models
+
+        *_, mesh_db = load_or_init_models(
+            object_ds, None, None,
+            render_size=tuple(cfg.render_size),
+            max_faces=cfg.max_faces,
+        )
         return {
             "results_path": results_path,
             "pred_keys": list(preds.keys()),
             "save_dir": save_dir,
-            "summary": summary,
+            "summary": score_and_save(preds["final"], mesh_db),
         }
 
     from ..inference.pose_estimator import PoseEstimator
@@ -210,19 +211,8 @@ def run_eval(
     csv = convert_results_to_bop(final, save_dir / f"{ds_short}.csv")
     logger.info(f"wrote {csv} ({len(final)} predictions)")
 
-    summary: dict = {}
-    if not cfg.skip_evaluation and len(final):
-        h, w = (
-            scene_ds[0].rgb.shape[:2] if len(scene_ds) else (480, 640)
-        )
-        meters = {
-            "modelnet": ModelNetErrorMeter(mesh_db),
-            "bop": BOPScoreMeter(mesh_db, image_width=w),
-        }
-        summary = EvaluationRunner(scene_ds, meters).evaluate(final)
-        (save_dir / "summary.json").write_text(
-            json.dumps(summary, indent=2, default=str)
-        )
+    summary = score_and_save(final, mesh_db)
+    if summary:
         logger.info(f"summary: {summary}")
 
     return {

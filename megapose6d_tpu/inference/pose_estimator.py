@@ -219,16 +219,23 @@ class PoseEstimator:
             min(chunk, D * probe.shape[0]), coarse_params, images, K,
             boxes, mesh_idx, probe,
         )
-        P = min(cfg.SO3_prune_keep, probe.shape[0])
-        _, top_parents = jax.lax.top_k(logits1, P)  # [D, P]
-        cand = self.prune_children[top_parents].reshape(D, -1)  # [D, P*C]
-        valid = self.prune_child_valid[top_parents].reshape(D, -1)
+        cand, valid = self._prune_candidates(logits1)
         R_cand = grid[cand]  # [D, P*C, 3, 3]
         logits2, TCO_init = self._coarse_logits_all_impl(
             min(chunk, D * R_cand.shape[1]), coarse_params, images, K,
             boxes, mesh_idx, R_cand,
         )
         return jnp.where(valid, logits2, -jnp.inf), TCO_init
+
+    def _prune_candidates(self, probe_logits: Array):
+        """Probe scores [D, M1] -> (candidate grid ids [D, P*C],
+        valid [D, P*C]): the Voronoi children of the top-P parents."""
+        P = min(self.cfg.SO3_prune_keep, self.so3_prune_grid.shape[0])
+        _, top_parents = jax.lax.top_k(probe_logits, P)  # [D, P]
+        D = probe_logits.shape[0]
+        cand = self.prune_children[top_parents].reshape(D, -1)
+        valid = self.prune_child_valid[top_parents].reshape(D, -1)
+        return cand, valid
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _coarse_stage(self, chunk, coarse_params, images, K, boxes,
@@ -749,13 +756,9 @@ class PoseEstimator:
                     K, jnp.asarray(boxes), jnp.asarray(mesh_idx),
                     self.so3_prune_grid,
                 )
-                logits1 = sharded_scores(probe_TCO)
-                P_keep = min(
-                    cfg.SO3_prune_keep, self.so3_prune_grid.shape[0]
+                cand, valid = self._prune_candidates(
+                    sharded_scores(probe_TCO)
                 )
-                _, top_parents = jax.lax.top_k(logits1, P_keep)
-                cand = self.prune_children[top_parents].reshape(D, -1)
-                valid = self.prune_child_valid[top_parents].reshape(D, -1)
                 TCO_init = self._init_hypotheses(
                     K, jnp.asarray(boxes), jnp.asarray(mesh_idx),
                     grid[cand],

@@ -29,13 +29,6 @@ from ..data.bop_scene_dataset import BOPDataset
 from ..evaluation.meters import BOPScoreMeter
 from ..evaluation.runner import EvaluationRunner, PredictionRunner
 from ..inference import InferenceConfig, PoseEstimator
-from ..meshes import (
-    MeshDataBase,
-    RigidObject,
-    RigidObjectDataset,
-    make_cube,
-    make_uv_sphere,
-)
 from ..models.pose_predictor import PosePredictor, PosePredictorConfig
 from ..training.config import TrainingConfig, make_coarse_cfg, make_refiner_cfg
 from ..training.train import create_train_state, load_checkpoint
@@ -46,24 +39,14 @@ logger = get_logger(__name__)
 
 
 def build_bop_world():
-    """The demo world (build_world) under BOP-convention labels, so the
-    generated dataset and CSV keep obj_id semantics."""
-    objs = RigidObjectDataset(
-        [
-            RigidObject(
-                label="obj_000001",
-                mesh=make_cube(0.045, textured=True, seed=0),
-            ),
-            RigidObject(
-                label="obj_000002",
-                mesh=make_uv_sphere(0.04, 24, 32, textured=True, seed=1),
-            ),
-        ]
+    """The demo world (demo_synthetic_e2e.build_world) under
+    BOP-convention labels, so the generated dataset and CSV keep obj_id
+    semantics."""
+    from .demo_synthetic_e2e import build_world
+
+    return build_world(
+        return_objects=True, labels=("obj_000001", "obj_000002")
     )
-    db = MeshDataBase.from_object_ds(
-        objs, max_faces=2048, n_points=512, n_sym=4
-    ).batched()
-    return db, objs
 
 
 def main(argv=None):

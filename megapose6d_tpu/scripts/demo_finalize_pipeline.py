@@ -171,6 +171,25 @@ def main(argv=None):
 
     pipe_add, pipe_rot, pipe_tr, pipe_poses = run_pipeline_eval(est, "full")
 
+    def ab_report(est2, tag, **extra):
+        """Run the pipeline with an alternative estimator config and
+        report top-1 agreement + error deltas vs the full run."""
+        a_add, a_rot, _a_tr, a_poses = run_pipeline_eval(est2, tag)
+        same = [
+            float(np.allclose(a, b, atol=1e-5))
+            for a, b in zip(pipe_poses, a_poses)
+        ]
+        rep = {
+            "top1_pose_agreement_frac": float(np.mean(same)),
+            "add_mm_full": float(np.median(pipe_add) * 1000),
+            f"add_mm_{tag}": float(np.median(a_add) * 1000),
+            "rot_deg_full": float(np.median(pipe_rot)),
+            f"rot_deg_{tag}": float(np.median(a_rot)),
+            **extra,
+        }
+        logger.info(f"{tag} A/B: {json.dumps(rep)}")
+        return rep
+
     lod_report = None
     if args["lod_ab"] == "1":
         # A/B: rescoring + grid scoring on DECIMATED meshes (the
@@ -179,50 +198,30 @@ def main(argv=None):
         # (VERDICT r2 weak #3; reference rescores with full meshes,
         # pose_estimator.py:602-613).
         mesh_db_lod = build_world(max_faces=512)
-        est_lod = PoseEstimator(
-            coarse, coarse_state.params, refiner, ref_state.params,
-            mesh_db, icfg, mesh_db_coarse=mesh_db_lod,
+        lod_report = ab_report(
+            PoseEstimator(
+                coarse, coarse_state.params, refiner, ref_state.params,
+                mesh_db, icfg, mesh_db_coarse=mesh_db_lod,
+            ),
+            "lod",
+            coarse_lod_faces=int(mesh_db_lod.faces.shape[1]),
         )
-        l_add, l_rot, l_tr, l_poses = run_pipeline_eval(est_lod, "lod")
-        same_top1 = [
-            float(np.allclose(a, b, atol=1e-5))
-            for a, b in zip(pipe_poses, l_poses)
-        ]
-        lod_report = {
-            "top1_pose_agreement_frac": float(np.mean(same_top1)),
-            "add_mm_full": float(np.median(pipe_add) * 1000),
-            "add_mm_lod": float(np.median(l_add) * 1000),
-            "rot_deg_full": float(np.median(pipe_rot)),
-            "rot_deg_lod": float(np.median(l_rot)),
-            "coarse_lod_faces": int(mesh_db_lod.faces.shape[1]),
-        }
-        logger.info(f"LOD A/B: {json.dumps(lod_report)}")
 
     prune_report = None
     if args["prune_ab"] == "1":
         # A/B: hierarchical coarse scoring (probe 72 + top-8 parents'
         # Voronoi children, ~160 scored hypotheses) vs the full 576
         # sweep — the accuracy check gating the bench's pruned row.
-        est_pruned = PoseEstimator(
-            coarse, coarse_state.params, refiner, ref_state.params,
-            mesh_db,
-            dataclasses.replace(
-                icfg, SO3_prune_grid_size=72, SO3_prune_keep=8
+        prune_report = ab_report(
+            PoseEstimator(
+                coarse, coarse_state.params, refiner, ref_state.params,
+                mesh_db,
+                dataclasses.replace(
+                    icfg, SO3_prune_grid_size=72, SO3_prune_keep=8
+                ),
             ),
+            "pruned",
         )
-        p_add, p_rot, p_tr, p_poses = run_pipeline_eval(est_pruned, "pruned")
-        same_top1 = [
-            float(np.allclose(a, b, atol=1e-5))
-            for a, b in zip(pipe_poses, p_poses)
-        ]
-        prune_report = {
-            "top1_pose_agreement_frac": float(np.mean(same_top1)),
-            "add_mm_full": float(np.median(pipe_add) * 1000),
-            "add_mm_pruned": float(np.median(p_add) * 1000),
-            "rot_deg_full": float(np.median(pipe_rot)),
-            "rot_deg_pruned": float(np.median(p_rot)),
-        }
-        logger.info(f"prune A/B: {json.dumps(prune_report)}")
 
     diam = float(np.asarray(mesh_db.diameters).mean())
     report = {

@@ -51,20 +51,26 @@ def _position_colored(mesh):
     return _dc.replace(mesh, vertex_colors=0.15 + 0.85 * colors)
 
 
-def build_world(max_faces=2048, return_objects=False):
+def build_world(
+    max_faces=2048, return_objects=False, labels=("cube", "sphere")
+):
     """Two random-block-TEXTURED primitives (exercises the per-pixel texture
     path end-to-end). Texture, not smooth vertex color, is what makes
     rotation refinable at demo training scale: the high-frequency pattern
     gives the render-and-compare CNN sharp orientation cues, like the real
     textured BOP/GSO assets the reference trains on. max_faces=2048 keeps
-    the sphere below the decimation threshold (decimation is UV-destroying)."""
+    the sphere below the decimation threshold (decimation is UV-destroying).
+
+    `labels` renames the two objects (demo_ar_baseline uses BOP-convention
+    obj_NNNNNN labels so CSV obj_id semantics hold); geometry/appearance —
+    and therefore checkpoint compatibility — are identical."""
     objs = RigidObjectDataset(
         [
             RigidObject(
-                label="cube", mesh=make_cube(0.045, textured=True, seed=0)
+                label=labels[0], mesh=make_cube(0.045, textured=True, seed=0)
             ),
             RigidObject(
-                label="sphere",
+                label=labels[1],
                 mesh=make_uv_sphere(0.04, 24, 32, textured=True, seed=1),
             ),
         ]
