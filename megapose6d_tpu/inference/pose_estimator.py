@@ -328,12 +328,15 @@ class PoseEstimator:
         K: Array,  # [1, 3, 3]
         TCO: Array,  # [N, 4, 4]
         mesh_idx: Array,  # [N]
+        mesh_db: BatchedMeshes | None = None,
     ) -> tuple[Array, Array]:
         """Run the scan-refiner on N hypotheses.
 
         Returns (TCO_refined [N, 4, 4], trajectory [n_iter, N, 4, 4]).
         Analog of forward_refiner (pose_estimator.py:101-215).
-        """
+        `mesh_db` overrides self.mesh_db (shard_map passes the DB as a
+        replicated operand)."""
+        mesh_db = self.mesh_db if mesh_db is None else mesh_db
         N = TCO.shape[0]
         n_chunks = (N + chunk - 1) // chunk
         n_pad = n_chunks * chunk
@@ -346,7 +349,7 @@ class PoseEstimator:
 
         def refine_chunk(args):
             TCO_c, idx_c = args
-            meshes_c = self.mesh_db.select(idx_c)
+            meshes_c = mesh_db.select(idx_c)
             imgs = jnp.broadcast_to(images, (chunk,) + images.shape[1:])
             K_c = jnp.broadcast_to(K, (chunk, 3, 3))
 
@@ -384,6 +387,59 @@ class PoseEstimator:
             chunk, n_iterations, refiner_params, images, K, TCO, mesh_idx
         )
 
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+    def _refine_sharded(
+        self, chunk, n_iterations, refiner_params, images, K, TCO_flat,
+        idx_flat,
+    ):
+        """Scan-refiner with the hypothesis axis sharded over the device
+        mesh's 'dp' axis (multi-chip analog of _refine; N divisible by
+        n_devices * chunk)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def refine_shard(params, db, images_r, K_r, TCO_s, idx_s):
+            return self._refine_impl(
+                chunk, n_iterations, params, images_r, K_r, TCO_s, idx_s,
+                mesh_db=db,
+            )
+
+        fn = shard_map(
+            refine_shard,
+            mesh=self.device_mesh,
+            in_specs=(P(), P(), P(), P(), P("dp"), P("dp")),
+            out_specs=(P("dp"), P(None, "dp")),
+            check_rep=False,
+        )
+        return fn(
+            refiner_params, self.mesh_db, images, K, TCO_flat, idx_flat
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _rescore_sharded(
+        self, chunk, coarse_params, images, K, TCO_flat, idx_flat
+    ):
+        """Rescoring with the hypothesis axis sharded over 'dp'."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def score_shard(params, db, images_r, K_r, TCO_s, idx_s):
+            return self._rescore_impl(
+                chunk, params, images_r, K_r, TCO_s, idx_s, mesh_db=db
+            )
+
+        fn = shard_map(
+            score_shard,
+            mesh=self.device_mesh,
+            in_specs=(P(), P(), P(), P(), P("dp"), P("dp")),
+            out_specs=P("dp"),
+            check_rep=False,
+        )
+        return fn(
+            coarse_params, self.mesh_db_coarse, images, K, TCO_flat,
+            idx_flat,
+        )
+
     def _rescore_impl(
         self,
         chunk: int,
@@ -392,9 +448,12 @@ class PoseEstimator:
         K: Array,
         TCO: Array,  # [N, 4, 4]
         mesh_idx: Array,
+        mesh_db: BatchedMeshes | None = None,
     ) -> Array:
         """Coarse logits of given poses (forward_scoring_model,
-        pose_estimator.py:217-322). Returns [N]."""
+        pose_estimator.py:217-322). Returns [N]. `mesh_db` overrides
+        self.mesh_db_coarse (shard_map operand)."""
+        mesh_db = self.mesh_db_coarse if mesh_db is None else mesh_db
         N = TCO.shape[0]
         n_chunks = (N + chunk - 1) // chunk
         n_pad = n_chunks * chunk
@@ -407,7 +466,7 @@ class PoseEstimator:
 
         def score_chunk(args):
             TCO_c, idx_c = args
-            meshes_c = self.mesh_db_coarse.select(idx_c)
+            meshes_c = mesh_db.select(idx_c)
             imgs = jnp.broadcast_to(images, (chunk,) + images.shape[1:])
             K_c = jnp.broadcast_to(K, (chunk, 3, 3))
             out = self.coarse_model.apply(
@@ -794,28 +853,71 @@ class PoseEstimator:
         N = D * top_k
         TCO_flat = TCO_topk.reshape(N, 4, 4)
         idx_flat = jnp.repeat(jnp.asarray(mesh_idx), top_k)
-        TCO_refined, traj = self._refine(
-            min(cfg.bsz_objects, N),
-            n_iter,
-            self.refiner_params,
-            images,
-            K,
-            TCO_flat,
-            idx_flat,
-        )
-        TCO_refined.block_until_ready()
-        timing["refiner"] = time.monotonic() - t0
+        if self.device_mesh is not None:
+            # Hypothesis axis stays sharded over 'dp' through the
+            # refiner and rescoring too (coarse alone sharded leaves
+            # all-but-one chip idle for the tail phases).
+            n_dev = int(self.device_mesh.devices.size)
+            chunk_r = min(cfg.bsz_objects, -(-N // n_dev))
+            per_dev = -(-N // (n_dev * chunk_r)) * chunk_r
+            n_pad = per_dev * n_dev
+            TCO_s = jnp.concatenate(
+                [
+                    TCO_flat,
+                    jnp.tile(
+                        jnp.eye(4, dtype=TCO_flat.dtype), (n_pad - N, 1, 1)
+                    ),
+                ]
+            )
+            idx_s = jnp.concatenate(
+                [idx_flat, jnp.zeros((n_pad - N,), jnp.int32)]
+            )
+            TCO_ref_p, traj_p = self._refine_sharded(
+                chunk_r, n_iter, self.refiner_params, images, K, TCO_s,
+                idx_s,
+            )
+            TCO_refined = TCO_ref_p[:N]
+            traj = traj_p[:, :N]
+            TCO_refined.block_until_ready()
+            timing["refiner"] = time.monotonic() - t0
 
-        # --- re-score refined hypotheses -------------------------------
-        t0 = time.monotonic()
-        pose_logits = self._rescore(
-            min(cfg.bsz_objects, N),
-            self.coarse_params,
-            images,
-            K,
-            TCO_refined,
-            idx_flat,
-        )
+            t0 = time.monotonic()
+            pose_logits = self._rescore_sharded(
+                chunk_r, self.coarse_params, images, K,
+                jnp.concatenate(
+                    [
+                        TCO_refined,
+                        jnp.tile(
+                            jnp.eye(4, dtype=TCO_refined.dtype),
+                            (n_pad - N, 1, 1),
+                        ),
+                    ]
+                ),
+                idx_s,
+            )[:N]
+        else:
+            TCO_refined, traj = self._refine(
+                min(cfg.bsz_objects, N),
+                n_iter,
+                self.refiner_params,
+                images,
+                K,
+                TCO_flat,
+                idx_flat,
+            )
+            TCO_refined.block_until_ready()
+            timing["refiner"] = time.monotonic() - t0
+
+            # --- re-score refined hypotheses ---------------------------
+            t0 = time.monotonic()
+            pose_logits = self._rescore(
+                min(cfg.bsz_objects, N),
+                self.coarse_params,
+                images,
+                K,
+                TCO_refined,
+                idx_flat,
+            )
         pose_logits.block_until_ready()
         timing["scoring"] = time.monotonic() - t0
 
