@@ -678,17 +678,25 @@ def make_axes(length: float = 0.1, radius_ratio: float = 0.03) -> TriMesh:
 def save_ply(mesh: TriMesh, path: str | Path) -> Path:
     """ASCII PLY writer (BOP models are PLY; bop_datasets_format.md).
 
-    Writes positions, normals (computed if absent), and uint8 vertex
-    colors when present — enough for `load_ply` and the BOP toolkit to
-    round-trip the mesh.
+    Writes positions, normals (computed if absent), uint8 vertex colors
+    when present, and — for per-pixel-textured meshes — `texture_u` /
+    `texture_v` properties plus a `comment TextureFile <name>.png` line
+    with the texture image saved alongside, the convention BOP's own
+    textured models (e.g. YCB-V) use and `load_ply` reads back.
     """
     mesh = mesh.with_computed_normals()
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     has_color = mesh.vertex_colors is not None
-    lines = [
-        "ply",
-        "format ascii 1.0",
+    has_tex = mesh.vertex_uvs is not None and mesh.texture is not None
+    lines = ["ply", "format ascii 1.0"]
+    if has_tex:
+        tex_name = path.stem + ".png"
+        from PIL import Image
+
+        Image.fromarray(mesh.texture).save(path.parent / tex_name)
+        lines.append(f"comment TextureFile {tex_name}")
+    lines += [
         f"element vertex {mesh.n_vertices}",
         "property float x",
         "property float y",
@@ -703,6 +711,8 @@ def save_ply(mesh: TriMesh, path: str | Path) -> Path:
             "property uchar green",
             "property uchar blue",
         ]
+    if has_tex:
+        lines += ["property float texture_u", "property float texture_v"]
     lines += [
         f"element face {mesh.n_faces}",
         "property list uchar int vertex_indices",
@@ -711,11 +721,19 @@ def save_ply(mesh: TriMesh, path: str | Path) -> Path:
     n = mesh.vertex_normals
     if has_color:
         c8 = np.clip(mesh.vertex_colors * 255.0, 0, 255).astype(np.uint8)
+    if has_tex:
+        # TriMesh UVs are image-convention (v down); PLY texture_v is
+        # GL-convention (v up) — the inverse of the load_ply flip.
+        uv_gl = np.stack(
+            [mesh.vertex_uvs[:, 0], 1.0 - mesh.vertex_uvs[:, 1]], axis=-1
+        )
     rows = []
     for i, v in enumerate(mesh.vertices):
         row = f"{v[0]} {v[1]} {v[2]} {n[i][0]} {n[i][1]} {n[i][2]}"
         if has_color:
             row += f" {c8[i][0]} {c8[i][1]} {c8[i][2]}"
+        if has_tex:
+            row += f" {uv_gl[i][0]} {uv_gl[i][1]}"
         rows.append(row)
     for f in mesh.faces:
         rows.append(f"3 {f[0]} {f[1]} {f[2]}")

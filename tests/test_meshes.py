@@ -181,3 +181,23 @@ def test_debug_primitives():
         jnp.asarray(T)[None], jnp.asarray(K)[None], (72, 96),
     )
     assert np.asarray(out.mask).sum() > 50
+
+
+def test_save_ply_textured_roundtrip(tmp_path):
+    """save_ply persists texture_u/texture_v + the TextureFile PNG so a
+    per-pixel-textured mesh round-trips through the BOP models/ layout
+    (reference ships textured YCB-V PLYs in exactly this convention)."""
+    from megapose6d_tpu.meshes import save_ply
+
+    cube = make_cube(0.02, textured=True)
+    assert cube.vertex_uvs is not None and cube.texture is not None
+    p = tmp_path / "obj_000001.ply"
+    save_ply(cube, p)
+    assert (tmp_path / "obj_000001.png").exists()
+    m = load_mesh(p)
+    np.testing.assert_allclose(m.vertices, cube.vertices, atol=1e-5)
+    np.testing.assert_array_equal(m.faces, cube.faces)
+    assert m.texture is not None and m.vertex_uvs is not None
+    np.testing.assert_array_equal(m.texture, cube.texture)
+    # UVs survive the GL<->image v-flip round trip.
+    np.testing.assert_allclose(m.vertex_uvs, cube.vertex_uvs, atol=1e-6)
