@@ -39,7 +39,7 @@ def main(argv=None):
         coarse_steps="800", epoch="", so3="576", n_eval="16",
         refine_iters="3", backbone="resnet18-spatial", render="240,320",
         batch_size="32", coarse_dir="", coarse_epoch="", lod_ab="0",
-        prune_ab="0",
+        prune_ab="0", top_k="4",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -132,7 +132,7 @@ def main(argv=None):
     icfg = InferenceConfig(
         SO3_grid_size=int(args["so3"]),
         n_refiner_iterations=n_it,
-        n_pose_hypotheses=4,
+        n_pose_hypotheses=int(args["top_k"]),
         bsz_images=64,
         bsz_objects=16,
         max_detections=1,
