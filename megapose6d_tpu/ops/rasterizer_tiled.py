@@ -320,6 +320,14 @@ def _run_visibility(
     invz, best_fid, attrs = pl.pallas_call(
         kernel,
         grid=(G, T),
+        # Mosaic's default scoped-VMEM budget is ~16 MB; the measured
+        # footprint is ~1 KB/face (33.1 MB at F=33664, the bench's raw
+        # 34k-face mesh in one segment), so 16k-face segments sit right
+        # at the default limit. v5e/v4 have 128 MB VMEM per core — raise
+        # the budget so face segments keep comfortable headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         in_specs=[
             pl.BlockSpec(
                 (None, None, P, 1 + n_chunks), lambda g, t: (g, t, 0, 0),
