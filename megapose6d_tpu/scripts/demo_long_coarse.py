@@ -50,7 +50,7 @@ def main(argv=None):
         out_dir="coarse_long", n_steps="30000", batch_size="32",
         eval_every="2000", max_seconds="1200", grid="64,576",
         backbone="resnet18-spatial", render="240,320", lr="3e-4", seed="0",
-        n_eval="32",
+        n_eval="32", dtype="auto",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -66,7 +66,12 @@ def main(argv=None):
     n_steps = int(args["n_steps"])
     eval_every = int(args["eval_every"])
     max_seconds = float(args["max_seconds"])
-    dtype = "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+    if args["dtype"] == "auto":
+        dtype = (
+            "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+        )
+    else:
+        dtype = args["dtype"]  # bf16-vs-f32 ranking-accuracy A/B
 
     mesh_db = build_world()
     base = TrainingConfig(
