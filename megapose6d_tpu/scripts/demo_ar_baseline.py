@@ -54,7 +54,7 @@ def main(argv=None):
         refiner_dir="/tmp/demo_long", coarse_dir="/tmp/coarse_grid",
         out_dir="ar_baseline", n_frames="24", so3="576", refine_iters="3",
         backbone="resnet18-spatial", render="240,320", n_hyp="4",
-        detector_dir="", depth_refine="0",
+        detector_dir="", depth_refine="0", dtype="auto",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -67,7 +67,15 @@ def main(argv=None):
 
     enable_persistent_compilation_cache()
     input_res = tuple(int(x) for x in args["render"].split(","))
-    dtype = "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+    if args["dtype"] == "auto":
+        dtype = (
+            "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+        )
+    else:
+        # bf16 coarse scoring measurably degrades SO(3)-grid ranking
+        # (see runs/coarse_grid history vs the f32 re-eval); eval demos
+        # default to platform dtype but accept an override.
+        dtype = args["dtype"]
 
     mesh_db, objects = build_bop_world()
 

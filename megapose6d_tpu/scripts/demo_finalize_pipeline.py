@@ -39,7 +39,7 @@ def main(argv=None):
         coarse_steps="800", epoch="", so3="576", n_eval="16",
         refine_iters="3", backbone="resnet18-spatial", render="240,320",
         batch_size="32", coarse_dir="", coarse_epoch="", lod_ab="0",
-        prune_ab="0", top_k="4",
+        prune_ab="0", top_k="4", dtype="auto",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -52,7 +52,15 @@ def main(argv=None):
 
     enable_persistent_compilation_cache()
     input_res = tuple(int(x) for x in args["render"].split(","))
-    dtype = "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+    if args["dtype"] == "auto":
+        dtype = (
+            "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+        )
+    else:
+        # bf16 coarse scoring measurably degrades SO(3)-grid ranking
+        # (see runs/coarse_grid history vs the f32 re-eval); eval demos
+        # default to platform dtype but accept an override.
+        dtype = args["dtype"]
     mesh_db = build_world()
 
     base = TrainingConfig(
