@@ -76,6 +76,18 @@ class PoseEstimator:
     ):
         self.coarse_model = coarse_model
         self.coarse_params = coarse_params
+        # Final-selection precision (InferenceConfig.rescore_f32): a twin
+        # coarse module computing in f32 with the SAME params — dtype in
+        # PosePredictor only drives activation casts, so params apply
+        # unchanged.
+        if cfg.rescore_f32 and coarse_model.cfg.compute_dtype != "float32":
+            import dataclasses as _dc
+
+            self.coarse_model_rescore = type(coarse_model)(
+                _dc.replace(coarse_model.cfg, compute_dtype="float32")
+            )
+        else:
+            self.coarse_model_rescore = coarse_model
         self.refiner_model = refiner_model
         self.refiner_params = refiner_params
         self.mesh_db = mesh_db
@@ -469,7 +481,7 @@ class PoseEstimator:
             meshes_c = mesh_db.select(idx_c)
             imgs = jnp.broadcast_to(images, (chunk,) + images.shape[1:])
             K_c = jnp.broadcast_to(K, (chunk, 3, 3))
-            out = self.coarse_model.apply(
+            out = self.coarse_model_rescore.apply(
                 coarse_params,
                 imgs,
                 K_c,

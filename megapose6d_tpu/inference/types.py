@@ -43,6 +43,15 @@ class InferenceConfig:
     # Run coarse->topK->refine->rescore as ONE XLA program (no host syncs
     # between phases; per-phase timing then only reports 'total').
     fused_pipeline: bool = False
+    # Rescore refined hypotheses (the final top-1 selection,
+    # pose_estimator.py:602-613) in float32 even when the coarse model
+    # computes in bf16: logit gaps between refined hypotheses are small
+    # enough that bf16 can scramble their order (measured: the same
+    # coarse checkpoint ranks a SO(3) grid at 37.9 deg top-1 in f32 vs
+    # 62.0 deg in bf16), while the rescore phase is only D*top_k scores
+    # — precision there is nearly free. The bulk 576-grid sweep keeps
+    # the model's own dtype for speed.
+    rescore_f32: bool = False
 
 
 def make_detections(

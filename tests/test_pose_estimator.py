@@ -220,3 +220,40 @@ def test_hierarchical_prune_subset(setup):
     )  # [Mc, M]
     # f32 acos is ill-conditioned near 0 distance; 1e-2 rad ~ 0.6 deg.
     assert (d.min(axis=1) < 1e-2).all()
+
+
+@pytest.mark.slow
+def test_rescore_f32_twin_matches_f32_model(setup):
+    """InferenceConfig.rescore_f32 rescoring of a bf16 coarse model
+    must produce exactly the logits an all-f32 coarse model would
+    (same params; dtype only drives activation casts)."""
+    import dataclasses
+
+    est, obs, TCO_gt = setup
+    coarse_bf16 = PosePredictor(
+        dataclasses.replace(est.coarse_model.cfg, compute_dtype="bfloat16")
+    )
+    cfg16 = dataclasses.replace(est.cfg, rescore_f32=True)
+    est16 = PoseEstimator(
+        coarse_bf16, est.coarse_params, est.refiner_model,
+        est.refiner_params, est.mesh_db, cfg16,
+    )
+    # Twin was built and computes in f32.
+    assert est16.coarse_model_rescore is not coarse_bf16
+    assert est16.coarse_model_rescore.cfg.compute_dtype == "float32"
+
+    TCO = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2))
+    TCO = TCO.at[:, 2, 3].set(0.5)
+    idx = jnp.zeros((2,), jnp.int32)
+    images = jnp.asarray(obs.images)
+    K = jnp.asarray(obs.K)
+    logits_twin = est16._rescore(2, est16.coarse_params, images, K, TCO, idx)
+    logits_f32 = est._rescore(2, est.coarse_params, images, K, TCO, idx)
+    np.testing.assert_allclose(
+        np.asarray(logits_twin), np.asarray(logits_f32), atol=1e-6
+    )
+
+    # And the full pipeline runs with the flag on a bf16 sweep model.
+    det = make_detections(["cube"], gt_detection_box(TCO_gt))
+    out, _ = est16.run_inference_pipeline(obs, det)
+    assert np.isfinite(out.poses).all()
