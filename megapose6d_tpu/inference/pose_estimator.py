@@ -873,14 +873,13 @@ class PoseEstimator:
             chunk_r = min(cfg.bsz_objects, -(-N // n_dev))
             per_dev = -(-N // (n_dev * chunk_r)) * chunk_r
             n_pad = per_dev * n_dev
-            TCO_s = jnp.concatenate(
-                [
-                    TCO_flat,
-                    jnp.tile(
-                        jnp.eye(4, dtype=TCO_flat.dtype), (n_pad - N, 1, 1)
-                    ),
-                ]
-            )
+
+            def pad_poses(T):
+                return jnp.concatenate(
+                    [T, jnp.tile(jnp.eye(4, dtype=T.dtype), (n_pad - N, 1, 1))]
+                )
+
+            TCO_s = pad_poses(TCO_flat)
             idx_s = jnp.concatenate(
                 [idx_flat, jnp.zeros((n_pad - N,), jnp.int32)]
             )
@@ -896,16 +895,7 @@ class PoseEstimator:
             t0 = time.monotonic()
             pose_logits = self._rescore_sharded(
                 chunk_r, self.coarse_params, images, K,
-                jnp.concatenate(
-                    [
-                        TCO_refined,
-                        jnp.tile(
-                            jnp.eye(4, dtype=TCO_refined.dtype),
-                            (n_pad - N, 1, 1),
-                        ),
-                    ]
-                ),
-                idx_s,
+                pad_poses(TCO_refined), idx_s,
             )[:N]
         else:
             TCO_refined, traj = self._refine(
