@@ -33,6 +33,7 @@ from ..ops.se3 import add_pose_noise
 from ..training.config import TrainingConfig, make_refiner_cfg, save_config
 from ..training.train import (
     create_train_state,
+    load_checkpoint,
     make_train_step,
     save_checkpoint,
     synthetic_batch_fn,
@@ -48,7 +49,7 @@ def main(argv=None):
         out_dir="demo_long", n_steps="60000", batch_size="32",
         eval_every="4000", ckpt_every="8000", backbone="resnet18-spatial",
         render="240,320", lr="3e-4", lr_decay_step="45000", seed="0",
-        refine_iters="3", n_eval="64",
+        refine_iters="3", n_eval="64", max_seconds="1e9",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -93,6 +94,10 @@ def main(argv=None):
     state = create_train_state(
         cfg, model, mesh_db, jax.random.PRNGKey(cfg.seed), input_res=input_res
     )
+    start_step = 0
+    if (out_dir / "checkpoints" / "latest.txt").exists():
+        state, start_step = load_checkpoint(out_dir, state)
+        logger.info(f"resumed from step {start_step}")
     step_fn = make_train_step(model, cfg, mesh_db)
     batch_fn = jax.jit(
         synthetic_batch_fn(mesh_db, cfg.batch_size, input_res, f=400.0)
@@ -123,7 +128,10 @@ def main(argv=None):
         return jax.lax.scan(body, TCO, None, length=n_it)[0]
 
     add0, rot0, tr0 = pose_errors(TCO_init_eval, eval_batch.TCO, pts)
-    history = []
+    history_path = out_dir / "history.json"
+    history = (
+        json.loads(history_path.read_text()) if history_path.exists() else []
+    )
 
     def run_eval(step):
         TCO_ref = refine_n(state.params, TCO_init_eval)
@@ -149,28 +157,31 @@ def main(argv=None):
         )
         return rec
 
-    key = jax.random.PRNGKey(cfg.seed + 1)
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), start_step)
+    max_seconds = float(args["max_seconds"])
     t0 = time.monotonic()
-    for i in range(n_steps):
+    i = start_step
+    while i < n_steps and (time.monotonic() - t0) < max_seconds:
         key, k1, k2 = jax.random.split(key, 3)
         batch = batch_fn(k1)
         state, metrics = step_fn(state, batch, k2, cfg.n_iterations)
-        if (i + 1) % 500 == 0 or i == 0:
+        i += 1
+        if i % 500 == 0 or i == start_step + 1:
             m = {k: float(v) for k, v in metrics.items()}
             logger.info(
-                f"step {i + 1}/{n_steps} loss={m['loss_total']:.4f} "
+                f"step {i}/{n_steps} loss={m['loss_total']:.4f} "
                 f"orn={m.get('loss_TCO-loss_orn', -1):.4f} "
                 f"xy={m.get('loss_TCO-loss_xy', -1):.4f} "
                 f"z={m.get('loss_TCO-loss_z', -1):.4f} "
-                f"({(time.monotonic() - t0) / (i + 1):.2f}s/step)"
+                f"({(time.monotonic() - t0) / (i - start_step):.2f}s/step)"
             )
-        if (i + 1) % eval_every == 0:
-            run_eval(i + 1)
-        if (i + 1) % ckpt_every == 0:
-            save_checkpoint(out_dir, state, i + 1)
+        if i % eval_every == 0:
+            run_eval(i)
+        if i % ckpt_every == 0:
+            save_checkpoint(out_dir, state, i)
 
-    rec = run_eval(n_steps)
-    save_checkpoint(out_dir, state, n_steps)
+    rec = run_eval(i)
+    save_checkpoint(out_dir, state, i)
     (out_dir / "report.json").write_text(json.dumps(
         {"final": rec, "history": history, "config": {
             "backbone": args["backbone"], "n_steps": n_steps,
