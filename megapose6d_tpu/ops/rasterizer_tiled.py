@@ -52,9 +52,12 @@ N_ATTR = 6  # r, g, b, nx, ny, nz
 COEF_W = 32  # 9 edge + 3 invz + 18 attr + 2 pad
 # Cap on hyp_pack * faces handled by one visibility call: the per-program
 # coefficient block is P * F * COEF_W * 4 bytes, double-buffered, against
-# a ~16 MB scoped-VMEM limit (34k faces at pack 1 already overflows it).
-# Larger meshes render in face segments merged by z (render_meshes_tiled).
-MAX_FACES_PER_PROGRAM = 16384
+# the scoped-VMEM budget. Empirical (v5e, 34k-face mesh, B=64): 16384-face
+# segments RESOURCE_EXHAUST the chip even at a 64 MB vmem budget and
+# compile in 150-260 s at smaller B; 8192-face segments compile in ~48 s
+# and run reliably (round-4 bisect). Larger meshes render in face
+# segments merged by z (render_meshes_tiled).
+MAX_FACES_PER_PROGRAM = 8192
 
 
 def _face_coefs(

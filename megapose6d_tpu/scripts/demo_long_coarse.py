@@ -132,6 +132,9 @@ def main(argv=None):
     history = (
         json.loads(history_path.read_text()) if history_path.exists() else []
     )
+    # On resume, drop eval records beyond the restored checkpoint — those
+    # steps re-run, and stale entries would duplicate/disorder history.json.
+    history = [r for r in history if r["step"] <= start_step]
 
     def run_eval_grid(step, G):
         R_grid = make_so3_grid(G)
@@ -196,8 +199,14 @@ def main(argv=None):
             run_eval(i)
             save_checkpoint(out_dir, state, i)
 
-    save_checkpoint(out_dir, state, i)
-    rec = run_eval(i)
+    # Skip the trailing eval/checkpoint when it would duplicate the last
+    # record: zero loop iterations (resume at/after n_steps, max_seconds
+    # already expired) or the loop exited exactly on an eval boundary.
+    if not history or history[-1]["step"] != i:
+        save_checkpoint(out_dir, state, i)
+        rec = run_eval(i)
+    else:
+        rec = history[-1]
     logger.info(f"segment done at step {i}: {json.dumps(rec)}")
     return rec
 

@@ -132,6 +132,10 @@ def main(argv=None):
     history = (
         json.loads(history_path.read_text()) if history_path.exists() else []
     )
+    # On resume, drop eval records beyond the restored checkpoint: those
+    # steps will be re-run, and keeping the stale entries would produce
+    # duplicate/out-of-order records in history.json (ADVICE r3).
+    history = [r for r in history if r["step"] <= start_step]
 
     def run_eval(step):
         TCO_ref = refine_n(state.params, TCO_init_eval)
@@ -180,8 +184,14 @@ def main(argv=None):
         if i % ckpt_every == 0:
             save_checkpoint(out_dir, state, i)
 
-    rec = run_eval(i)
-    save_checkpoint(out_dir, state, i)
+    # Skip the trailing eval/checkpoint when it would duplicate the last
+    # record: zero loop iterations (resume at/after n_steps, max_seconds
+    # expired immediately) or an exit exactly on an eval boundary (ADVICE r3).
+    if not history or history[-1]["step"] != i:
+        rec = run_eval(i)
+        save_checkpoint(out_dir, state, i)
+    else:
+        rec = history[-1]
     (out_dir / "report.json").write_text(json.dumps(
         {"final": rec, "history": history, "config": {
             "backbone": args["backbone"], "n_steps": n_steps,

@@ -1,0 +1,56 @@
+"""Bench-shape compile guard (VERDICT r3 item 8).
+
+Round 3's driver bench died with RESOURCE_EXHAUSTED the first time the
+full bench shapes met the real chip, erasing the round's perf record.
+This test compiles the SAME fused pipeline program bench.py measures
+(D=8 detections, 576-rotation SO(3) grid, ~3k-face meshes, 240x320
+renders) on CPU (interpret-mode Pallas), so structural/compile
+regressions in the bench path are caught by the suite before the driver
+bench meets the hardware. Mosaic VMEM budgeting is TPU-only and cannot
+be checked here; the on-TPU smoke command lives in the verify skill
+(.claude/skills/verify/SKILL.md).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+@pytest.mark.slow
+def test_fused_pipeline_compiles_at_bench_shapes():
+    import jax.numpy as jnp
+
+    from megapose6d_tpu.data import ObservationTensor
+    from megapose6d_tpu.inference import make_detections
+    from megapose6d_tpu.ops import rasterizer
+
+    mesh_db, mesh_db_coarse = bench.build_world()
+    n_detections = 8
+    est, K = bench.make_estimator(mesh_db, mesh_db_coarse, n_detections)
+
+    img_res = (480, 640)
+    TCO_gt = np.eye(4, dtype=np.float32)
+    TCO_gt[2, 3] = 0.55
+    meshes1 = mesh_db.select(jnp.zeros((1,), jnp.int32))
+    obs_r = rasterizer.render_meshes(
+        meshes1.vertices, meshes1.normals, meshes1.colors, meshes1.faces,
+        meshes1.face_valid, jnp.asarray(TCO_gt)[None], jnp.asarray(K)[None],
+        img_res, chunk=128, light_ambient=1.0, light_point=0.0,
+    )
+    obs = ObservationTensor(images=np.asarray(obs_r.rgb), K=K[None])
+    boxes = np.tile(
+        np.asarray([[265.0, 185.0, 375.0, 295.0]], np.float32),
+        (n_detections, 1),
+    )
+    detections = make_detections(["obj1"] * n_detections, boxes)
+
+    # Lower + compile the exact program bench_pipeline times (no
+    # execution needed; a compile failure or shape error is the signal).
+    cost = est.fused_pipeline_cost_analysis(obs, detections)
+    assert cost.get("flops", 0) > 0 or len(cost) > 0
