@@ -597,6 +597,138 @@ class PoseEstimator:
             cost = cost[0]
         return dict(cost)
 
+    def fused_pipeline_flops_estimate(self, observation) -> dict:
+        """Trip-count-corrected model-FLOPs estimate of one fused
+        pipeline call (per image).
+
+        XLA's cost analysis counts a `lax.map` / `lax.scan` BODY once,
+        so `fused_pipeline_cost_analysis` undercounts the real work by
+        the chunk trip counts (measured ~10x at D=8). This lowers each
+        per-chunk sub-program separately — host-side tracing only, no
+        device compile — and multiplies by its trip count. Pallas render
+        kernels are opaque custom calls with zero reported flops either
+        way, so this is the CNN model-FLOPs numerator (the standard MFU
+        definition).
+
+        Returns {"flops": total, "flops_coarse": ..., "flops_refine":
+        ..., "flops_rescore": ...} for one image at cfg.max_detections.
+        """
+        cfg = self.cfg
+        D = cfg.max_detections
+        img_sds = jax.ShapeDtypeStruct(
+            tuple(observation.images.shape[1:]), jnp.float32
+        )
+
+        def _sds(tree):
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
+                                               jnp.result_type(a)), tree
+            )
+
+        def _flops(fn, *args):
+            lowered = jax.jit(fn).lower(*args)
+            ca = lowered.cost_analysis()
+            if ca is None:
+                # The axon (TPU tunnel) client has no host-side HLO cost
+                # analysis; the in-process CPU client's is
+                # backend-independent on unoptimized HLO. Mosaic only
+                # targets TPU, so lower the Pallas render in interpret
+                # mode (its emulation ops are a rounding error next to
+                # the CNN conv/matmul flops being counted).
+                from ..ops.rasterizer_tiled import force_interpret
+
+                with force_interpret():
+                    # Fresh closure: the first lower() above already
+                    # traced `fn` and cached its jaxpr with the Pallas
+                    # interpret=False param baked in; re-jitting the
+                    # same function object would reuse that trace and
+                    # bypass force_interpret.
+                    ca = (jax.jit(lambda *a: fn(*a), backend="cpu")
+                          .lower(*args).cost_analysis())
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)) if ca else 0.0
+
+        _cache: dict[tuple, float] = {}
+
+        def score_chunk_flops(model, params, db, chunk):
+            key = ("score", id(model), id(db), chunk)
+            if key not in _cache:
+                meshes_c = _sds(db.select(jnp.zeros((chunk,), jnp.int32)))
+
+                def fn(p, imgs, K_c, TCO_c, m):
+                    return model.apply(
+                        p, imgs, K_c, TCO_c, m,
+                        method=PosePredictor.score_views,
+                    )["logits"]
+
+                _cache[key] = _flops(
+                    fn,
+                    _sds(params),
+                    jax.ShapeDtypeStruct((chunk,) + img_sds.shape,
+                                         img_sds.dtype),
+                    jax.ShapeDtypeStruct((chunk, 3, 3), jnp.float32),
+                    jax.ShapeDtypeStruct((chunk, 4, 4), jnp.float32),
+                    meshes_c,
+                )
+            return _cache[key]
+
+        def refine_chunk_flops(chunk):
+            meshes_c = _sds(
+                self.mesh_db.select(jnp.zeros((chunk,), jnp.int32))
+            )
+
+            def fn(p, imgs, K_c, TCO_c, m):
+                return self.refiner_model.apply(
+                    p, imgs, K_c, TCO_c, m,
+                    method=PosePredictor.refine_step,
+                )["TCO_output"]
+
+            return _flops(
+                fn,
+                _sds(self.refiner_params),
+                jax.ShapeDtypeStruct((chunk,) + img_sds.shape,
+                                     img_sds.dtype),
+                jax.ShapeDtypeStruct((chunk, 3, 3), jnp.float32),
+                jax.ShapeDtypeStruct((chunk, 4, 4), jnp.float32),
+                meshes_c,
+            )
+
+        def sweep_flops(n_hyp):
+            """Coarse sweep over D*n_hyp hypotheses (padded chunking,
+            exactly _coarse_logits_all_impl's trip count)."""
+            n = D * n_hyp
+            chunk = min(cfg.bsz_images, n)
+            trips = -(-n // chunk)
+            return trips * score_chunk_flops(
+                self.coarse_model, self.coarse_params,
+                self.mesh_db_coarse, chunk,
+            )
+
+        if cfg.SO3_prune_grid_size:
+            f_coarse = sweep_flops(self.so3_prune_grid.shape[0])
+            f_coarse += sweep_flops(self.prune_children[0].size
+                                    * min(cfg.SO3_prune_keep,
+                                          self.so3_prune_grid.shape[0]))
+        else:
+            f_coarse = sweep_flops(self.so3_grid.shape[0])
+
+        N = D * cfg.n_pose_hypotheses
+        chunk_o = min(cfg.bsz_objects, N)
+        trips_o = -(-N // chunk_o)
+        f_refine = (trips_o * cfg.n_refiner_iterations
+                    * refine_chunk_flops(chunk_o))
+        f_rescore = trips_o * score_chunk_flops(
+            self.coarse_model_rescore, self.coarse_params,
+            self.mesh_db_coarse, chunk_o,
+        )
+        return {
+            "flops": f_coarse + f_refine + f_rescore,
+            "flops_coarse": f_coarse,
+            "flops_refine": f_refine,
+            "flops_rescore": f_rescore,
+        }
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------

@@ -59,6 +59,27 @@ COEF_W = 32  # 9 edge + 3 invz + 18 attr + 2 pad
 # segments merged by z (render_meshes_tiled).
 MAX_FACES_PER_PROGRAM = 8192
 
+# Module-level interpret override (see force_interpret): host-side
+# analysis passes (FLOP estimation via the CPU client's HLO cost
+# analysis) must lower WITHOUT Mosaic, which only targets TPU.
+_FORCE_INTERPRET = False
+
+
+class force_interpret:
+    """Context manager forcing interpret-mode Pallas lowering within its
+    scope, regardless of the call-site `interpret=` argument."""
+
+    def __enter__(self):
+        global _FORCE_INTERPRET
+        self._prev = _FORCE_INTERPRET
+        _FORCE_INTERPRET = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_INTERPRET
+        _FORCE_INTERPRET = self._prev
+        return False
+
 
 def _face_coefs(
     screen: Array,  # [V, 3] (u, v, z)
@@ -416,6 +437,7 @@ def render_meshes_tiled(
     lookup for the albedo.
     """
     H, W = resolution
+    interpret = interpret or _FORCE_INTERPRET
     B, F = faces.shape[:2]
     n_th = (H + tile_h - 1) // tile_h
     n_tw = (W + TILE_W - 1) // TILE_W

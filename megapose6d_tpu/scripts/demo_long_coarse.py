@@ -50,7 +50,7 @@ def main(argv=None):
         out_dir="coarse_long", n_steps="30000", batch_size="32",
         eval_every="2000", max_seconds="1200", grid="64,576",
         backbone="resnet18-spatial", render="240,320", lr="3e-4", seed="0",
-        n_eval="32", dtype="auto",
+        n_eval="32", dtype="auto", force_final_eval="0",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -160,6 +160,7 @@ def main(argv=None):
         rec = {
             "step": step,
             "grid": G,
+            "dtype": dtype,
             "top1_rot_err_deg_median": float(np.median(top1_err)),
             "top4_within_15deg_of_best_frac": float(np.mean(top4_hit)),
             "grid_best_reachable_deg_median": float(np.median(floors)),
@@ -202,9 +203,15 @@ def main(argv=None):
     # Skip the trailing eval/checkpoint when it would duplicate the last
     # record: zero loop iterations (resume at/after n_steps, max_seconds
     # already expired) or the loop exited exactly on an eval boundary.
+    # force_final_eval=1 overrides the guard — used to re-evaluate a
+    # finished checkpoint under a different dtype= (the bf16-vs-f32
+    # ranking A/B on identical hardware; the record is distinguished by
+    # its "dtype" field).
     if not history or history[-1]["step"] != i:
         save_checkpoint(out_dir, state, i)
         rec = run_eval(i)
+    elif args["force_final_eval"] == "1":
+        rec = run_eval(i)  # re-eval only (e.g. dtype A/B); params unchanged
     else:
         rec = history[-1]
     logger.info(f"segment done at step {i}: {json.dumps(rec)}")

@@ -54,3 +54,16 @@ def test_fused_pipeline_compiles_at_bench_shapes():
     # execution needed; a compile failure or shape error is the signal).
     cost = est.fused_pipeline_cost_analysis(obs, detections)
     assert cost.get("flops", 0) > 0 or len(cost) > 0
+
+    # Trip-count-corrected model FLOPs (bench.py's MFU numerator): the
+    # compiled program's cost analysis counts lax.map/scan bodies once,
+    # so the corrected estimate must be strictly larger and decompose
+    # into coarse + refine + rescore.
+    est_flops = est.fused_pipeline_flops_estimate(obs)
+    assert est_flops["flops"] == pytest.approx(
+        est_flops["flops_coarse"] + est_flops["flops_refine"]
+        + est_flops["flops_rescore"]
+    )
+    assert est_flops["flops"] > cost.get("flops", 0) > 0
+    # Coarse sweep (576 hypotheses) dominates refine (top-4 x 5 iters).
+    assert est_flops["flops_coarse"] > est_flops["flops_refine"]
