@@ -386,6 +386,26 @@ def run_stage(spec, timeout=900):
     return out
 
 
+def _load_prune_ab_validation():
+    """The committed prune accuracy A/B (runs/final_pipeline/report.json,
+    written by demo_finalize_pipeline prune_ab=1 with the trained
+    checkpoints), or None when absent/unreadable."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "runs", "final_pipeline", "report.json")
+        with open(path) as f:
+            rep = json.load(f)
+        ab = rep.get("prune_ab")
+        if not isinstance(ab, dict):
+            return None
+        return {k: ab[k] for k in
+                ("top1_pose_agreement_frac", "rot_deg_full",
+                 "rot_deg_pruned", "add_mm_full", "add_mm_pruned")
+                if k in ab}
+    except Exception:
+        return None
+
+
 def main():
     t_start = time.monotonic()
     result = {
@@ -482,8 +502,11 @@ def main():
             result["failed_stages"].append(tag)
 
         # Hierarchical coarse pruning (probe 72 + top-8 parents'
-        # children): reported separately until its accuracy cost is
-        # validated on the synthetic eval (demo_finalize_pipeline A/B).
+        # children). Promoted to the HEADLINE value only when the
+        # committed accuracy A/B (demo_finalize_pipeline prune_ab=1 at
+        # n_eval>=16 on the trained checkpoints) validates it: top-1
+        # pose agreement vs the full 576 sweep >= 0.9, or a median
+        # rotation delta under 1 degree. Otherwise reported separately.
         tag = f"pruned72-8/D{best_d}"
         r = run_stage({"stage": "pipeline", "D": best_d,
                        "pack": best_pipe_pack, "prune": 72, "prune_keep": 8,
@@ -493,6 +516,21 @@ def main():
         )
         if not r:
             result["failed_stages"].append(tag)
+        ab = _load_prune_ab_validation()
+        result["prune_ab_validation"] = ab
+        if (r and ab is not None
+                and (ab.get("top1_pose_agreement_frac", 0.0) >= 0.9
+                     or abs(ab.get("rot_deg_pruned", 1e9)
+                            - ab.get("rot_deg_full", 0.0)) < 1.0)
+                and r["poses_per_s"] > result["value"]):
+            result["value"] = round(r["poses_per_s"], 4)
+            result["vs_baseline"] = round(
+                r["poses_per_s"] / BASELINE_POSES_PER_S, 2
+            )
+            result["metric"] = (
+                "poses/sec/chip end-to-end (hierarchical 72->8x8 coarse "
+                "over the 576 grid + 5 refiner iters; accuracy-validated "
+                "by the committed prune A/B)")
 
     # ---- real-scale pipeline (34k-face mesh, 2k-face coarse LOD) ----
     tag = "pipeline/real-scale-34k"

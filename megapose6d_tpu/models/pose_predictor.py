@@ -38,6 +38,31 @@ from .backbones import make_backbone
 
 Array = jax.Array
 
+# Init-only render bypass (see skip_render_for_init): parameter
+# initialization never depends on pixel VALUES (initializers are a
+# function of shapes + rng only), so `model.init` can skip the
+# rasterizer and feed zeros of the render's static shape. This lets
+# init run on the host CPU in seconds; the real eager init executed
+# every op over the TPU tunnel (~6 min per script invocation).
+_SKIP_RENDER = False
+
+
+class skip_render_for_init:
+    """Context manager: render_views returns zeros of the correct shape
+    instead of rasterizing. ONLY for flax .init — param values are
+    identical (same rng, same shapes), activations are not."""
+
+    def __enter__(self):
+        global _SKIP_RENDER
+        self._prev = _SKIP_RENDER
+        _SKIP_RENDER = True
+        return self
+
+    def __exit__(self, *exc):
+        global _SKIP_RENDER
+        _SKIP_RENDER = self._prev
+        return False
+
 
 @dataclasses.dataclass(frozen=True)
 class PosePredictorConfig:
@@ -227,6 +252,10 @@ class PosePredictor(nn.Module):
         :410-496). Returns `[B, H, W, V * C_render]`."""
         cfg = self.cfg
         B, V = TCV_O.shape[:2]
+        if _SKIP_RENDER:
+            H, W = cfg.render_size
+            c_render = 3 + 3 * cfg.render_normals + cfg.render_depth
+            return jnp.zeros((B, H, W, V * c_render), jnp.float32)
         mesh_mv = jax.tree.map(lambda a: jnp.repeat(a, V, axis=0), meshes)
         if ambient is not None:
             light_ambient = jnp.repeat(ambient, V, axis=0)

@@ -81,7 +81,22 @@ def create_train_state(
     dummy_K = jnp.eye(3)[None] * 100.0
     dummy_T = jnp.eye(4)[None].at[0, 2, 3].set(0.5)
     meshes1 = mesh_db.select(jnp.zeros((1,), jnp.int32))
-    params = model.init(key, dummy_images, dummy_K, dummy_T, meshes1)
+    if jax.default_backend() == "cpu":
+        params = model.init(key, dummy_images, dummy_K, dummy_T, meshes1)
+    else:
+        # Init on the host CPU with the render bypassed (param values
+        # are a function of shapes + rng only, so they are identical),
+        # then transfer once. Un-jitted init on the device executes
+        # op-by-op over the TPU tunnel (~6 min per invocation).
+        from ..models.pose_predictor import skip_render_for_init
+
+        cpu = jax.devices("cpu")[0]
+        args_cpu = jax.device_put(
+            (key, dummy_images, dummy_K, dummy_T, meshes1), cpu
+        )
+        with skip_render_for_init():
+            params = model.init(*args_cpu)
+        params = jax.device_put(params, jax.devices()[0])
     steps_per_epoch = max(1, cfg.epoch_size // cfg.batch_size)
     tx = make_optimizer(cfg, steps_per_epoch)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)

@@ -67,3 +67,35 @@ def test_fused_pipeline_compiles_at_bench_shapes():
     assert est_flops["flops"] > cost.get("flops", 0) > 0
     # Coarse sweep (576 hypotheses) dominates refine (top-4 x 5 iters).
     assert est_flops["flops_coarse"] > est_flops["flops_refine"]
+
+
+@pytest.mark.slow
+def test_pruned_pipeline_compiles_at_bench_shapes():
+    """The hierarchical-pruning bench config (72-probe + top-8 children)
+    — bench.py's headline candidate — must also compile at bench
+    shapes."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from megapose6d_tpu.data import ObservationTensor
+    from megapose6d_tpu.inference import make_detections
+
+    mesh_db, mesh_db_coarse = bench.build_world()
+    n_detections = 8
+    est, K = bench.make_estimator(
+        mesh_db, mesh_db_coarse, n_detections, prune=72, prune_keep=8
+    )
+    obs = ObservationTensor(
+        images=np.zeros((1, 480, 640, 3), np.float32), K=K[None]
+    )
+    boxes = np.tile(
+        np.asarray([[265.0, 185.0, 375.0, 295.0]], np.float32),
+        (n_detections, 1),
+    )
+    detections = make_detections(["obj1"] * n_detections, boxes)
+    cost = est.fused_pipeline_cost_analysis(obs, detections)
+    assert cost.get("flops", 0) > 0 or len(cost) > 0
+    est_flops = est.fused_pipeline_flops_estimate(obs)
+    # Hierarchy scores 72 probes + 8x8 children = 136 of 576 rotations
+    # per detection: coarse flops must drop to ~1/4 of the full sweep's
+    # 5.6e13 (same shapes as the first test).
+    assert 0 < est_flops["flops_coarse"] < 2.5e13

@@ -165,3 +165,23 @@ def test_input_depth_channels(mesh_batch):
     # Normalized obs depth: 0.45/0.45 - 1 = 0 (clamp-center type).
     d = np.asarray(out["images_crop"][..., 3])
     assert np.abs(d).max() < 0.3
+
+
+def test_init_render_bypass_params_identical(mesh_batch):
+    """skip_render_for_init must produce byte-identical params: it is
+    the init fast path (host-CPU init instead of op-by-op over the TPU
+    tunnel) used by training.create_train_state on device backends."""
+    from megapose6d_tpu.models.pose_predictor import skip_render_for_init
+
+    for cfg in (
+        make_refiner_config(render_size=RENDER, face_chunk=32),
+        make_coarse_config(render_size=RENDER, face_chunk=32),
+    ):
+        model = PosePredictor(cfg)
+        rgb, K, TCO, meshes = scene(mesh_batch)
+        p_real = model.init(jax.random.PRNGKey(3), rgb, K, TCO, meshes)
+        with skip_render_for_init():
+            p_skip = model.init(jax.random.PRNGKey(3), rgb, K, TCO, meshes)
+        assert jax.tree.structure(p_real) == jax.tree.structure(p_skip)
+        for a, b in zip(jax.tree.leaves(p_real), jax.tree.leaves(p_skip)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
