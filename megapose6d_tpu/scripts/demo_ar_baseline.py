@@ -11,8 +11,8 @@ next #7). Reference semantics: `evaluation/bop.py:100-218` +
 
 Usage:
     python -m megapose6d_tpu.scripts.demo_ar_baseline \\
-        refiner_dir=/tmp/demo_long coarse_dir=/tmp/coarse_grid \\
-        out_dir=/tmp/ar_baseline [n_frames=24] [so3=576] [refine_iters=3]
+        refiner_dir=runs/refiner_long coarse_dir=runs/coarse_grid \\
+        out_dir=runs/ar_baseline [n_frames=24] [so3=576] [refine_iters=3]
 """
 
 from __future__ import annotations
@@ -51,7 +51,7 @@ def build_bop_world():
 
 def main(argv=None):
     args = dict(
-        refiner_dir="/tmp/demo_long", coarse_dir="/tmp/coarse_grid",
+        refiner_dir="runs/refiner_long", coarse_dir="runs/coarse_grid",
         out_dir="ar_baseline", n_frames="24", so3="576", refine_iters="3",
         backbone="resnet18-spatial", render="240,320", n_hyp="4",
         detector_dir="", depth_refine="0", dtype="auto",

@@ -7,7 +7,7 @@ rotation learning curve); together they are the round-2 DEMO artifact.
 
 Usage:
     python -m megapose6d_tpu.scripts.demo_finalize_pipeline \\
-        refiner_dir=/tmp/demo_long out_dir=/tmp/demo_final \\
+        refiner_dir=runs/refiner_long coarse_dir=runs/coarse_grid out_dir=runs/final_pipeline \\
         [coarse_steps=800] [epoch=] [so3=576]
 """
 
@@ -35,7 +35,7 @@ logger = get_logger(__name__)
 
 def main(argv=None):
     args = dict(
-        refiner_dir="/tmp/demo_long", out_dir="demo_final",
+        refiner_dir="runs/refiner_long", out_dir="runs/final_pipeline",
         coarse_steps="800", epoch="", so3="576", n_eval="16",
         refine_iters="3", backbone="resnet18-spatial", render="240,320",
         batch_size="32", coarse_dir="", coarse_epoch="", lod_ab="0",

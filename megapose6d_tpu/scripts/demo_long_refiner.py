@@ -12,7 +12,7 @@ held-out scenes every `eval_every` steps and checkpointing, so the
 learning curve of the ROTATION axis itself is the demo artifact.
 
 Usage:
-    python -m megapose6d_tpu.scripts.demo_long_refiner out_dir=/tmp/demo_long \\
+    python -m megapose6d_tpu.scripts.demo_long_refiner out_dir=runs/refiner_long \\
         n_steps=60000 [batch_size=32] [eval_every=4000] [backbone=resnet18-spatial]
 """
 

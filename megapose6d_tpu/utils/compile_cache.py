@@ -14,6 +14,19 @@ tails). Two design decisions bound that cost:
 
 The reference has no analog — its Panda3D farm pays process-spawn +
 scene-graph build per worker instead (panda3d_batch_renderer.py:217-282).
+
+Measured cross-process behavior on the v5e tunnel (round 4): the fused
+pipeline's cold compile is ~190 s; a warm cross-process first call was
+measured at 16.5 s. The warm hit is NOT reliable for programs containing
+Mosaic (Pallas) kernels: with byte-identical source, separate processes
+were observed to produce BOTH cache hits and misses. A round-4
+investigation pinned the instability to the cache key of the Pallas
+custom call (plain XLA programs key deterministically across processes;
+the suspect is per-process content in the Mosaic custom-call backend
+config), root cause still open. Within-process caching (jit) and the
+static-shape policy above are unaffected; bench.py records
+`first_call_s_cold` / `first_call_s_warm` so every driver run documents
+the empirical amortization.
 """
 
 from __future__ import annotations
