@@ -55,6 +55,12 @@ def main(argv=None):
         out_dir="ar_baseline", n_frames="24", so3="576", refine_iters="3",
         backbone="resnet18-spatial", render="240,320", n_hyp="4",
         detector_dir="", depth_refine="0", dtype="auto",
+        # Observation domain of the generated dataset: "realism"
+        # (backgrounds + point light + shadows + IBL) or "unlit"
+        # (flat-albedo black-background, matching synthetic_batch_fn
+        # training observations — see NEXT.md: models trained on the
+        # demo batches collapse on realism observations).
+        domain="realism",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -81,12 +87,16 @@ def main(argv=None):
 
     # BOP-layout dataset at the training camera statistics (f=400,
     # 240x320 — synthetic_batch_fn's defaults in the demo runs).
-    ds_dir = out_dir / "synthdemo"
+    domain = args["domain"]
+    assert domain in ("realism", "unlit"), domain
+    ds_dir = out_dir / ("synthdemo" if domain == "realism"
+                        else "synthdemo_unlit")
     if not (ds_dir / "test").exists():
         generate_bop(
             mesh_db, objects, ds_dir,
             n_frames=int(args["n_frames"]), resolution=input_res,
             n_obj_per_scene=2, f=400.0, frames_per_scene=4, seed=123,
+            background=(domain == "realism"), unlit=(domain == "unlit"),
         )
     # load_depth: enables the in-tree VSD term (BOPScoreMeter computes
     # e_VSD only when the frame carries a depth image).
@@ -192,6 +202,7 @@ def main(argv=None):
             ).evaluate(det_final)
     report = {
         "dataset": str(ds_dir),
+        "domain": domain,
         "n_frames": len(scene_ds),
         "refiner_step": int(r_step),
         "coarse_step": int(c_step),
@@ -211,7 +222,10 @@ def main(argv=None):
             if isinstance(depth_summary, dict) else depth_summary
         ),
     }
-    (out_dir / "report.json").write_text(
+    report_name = (
+        "report.json" if domain == "realism" else f"report_{domain}.json"
+    )
+    (out_dir / report_name).write_text(
         json.dumps(report, indent=2, default=str)
     )
     logger.info(json.dumps(report, indent=2, default=str))

@@ -69,6 +69,7 @@ def make_scene_renderer(
     background: bool = True,
     shadows: bool = True,
     ibl: bool = True,
+    unlit: bool = False,
 ):
     """Jitted multi-object scene render: per-object renders + deferred
     z-composite shading over a procedural background.
@@ -85,9 +86,18 @@ def make_scene_renderer(
         environment tied to the background palette (degree-1 SH sampled
         by eye-space normal), coupling object tint to the scene the way
         GI bleeds background color onto objects.
+      - `unlit=True`: the DOMAIN-MATCHED mode — flat shade=1 unlit
+        albedo, no point light / shadows / IBL, exactly the observation
+        statistics of the demo training batches (`synthetic_batch_fn`:
+        light_ambient=1.0, light_point=0.0). Use with background=False
+        to evaluate models trained on those batches (the round-4 AR
+        collapse was this domain gap — see NEXT.md).
 
     Returns fn(key) -> (rgb [H,W,3], depth, seg [H,W] i32, TCO [n_obj,4,4],
     mesh_idx [n_obj], K [3,3], visib [n_obj])."""
+    if unlit:
+        shadows = False
+        ibl = False
     H, W = resolution
     K1 = jnp.asarray(
         [[f, 0.0, W / 2 - 0.5], [0.0, f, H / 2 - 0.5], [0.0, 0.0, 1.0]],
@@ -252,7 +262,10 @@ def make_scene_renderer(
         else:
             lit = jnp.ones((H, W), jnp.float32)
 
-        shade = amb * env(n_pix) + pnt * (n_dot_l * lit)[..., None]
+        if unlit:
+            shade = jnp.ones((H, W, 1), jnp.float32)
+        else:
+            shade = amb * env(n_pix) + pnt * (n_dot_l * lit)[..., None]
         fg_rgb = jnp.clip(albedo * shade, 0.0, 1.0)
         bg_rgb = jnp.clip(bg * shade, 0.0, 1.0)
         rgb = jnp.where(any_hit[..., None], fg_rgb, bg_rgb)
@@ -367,14 +380,26 @@ def generate_bop(
     seed: int = 0,
     split: str = "test",
     write_models: bool = True,
+    background: bool = True,
+    shadows: bool = True,
+    ibl: bool = True,
+    unlit: bool = False,
 ) -> Path:
     """BOP-layout variant of `generate` (data/bop_writer.py): the output
-    feeds BOPDataset -> run_eval -> BOPScoreMeter / bop_toolkit directly."""
+    feeds BOPDataset -> run_eval -> BOPScoreMeter / bop_toolkit directly.
+
+    `background/shadows/ibl/unlit` select the observation domain (see
+    make_scene_renderer): realism defaults, or `unlit=True,
+    background=False` for datasets domain-matched to models trained on
+    `synthetic_batch_fn` observations."""
     from ..data.bop_writer import write_bop_models, write_scene_ds_as_bop
     from ..evaluation.bop import label_to_obj_id
 
     ds_dir = Path(ds_dir)
-    render = make_scene_renderer(mesh_db, n_obj_per_scene, resolution, f)
+    render = make_scene_renderer(
+        mesh_db, n_obj_per_scene, resolution, f,
+        background=background, shadows=shadows, ibl=ibl, unlit=unlit,
+    )
     labels = mesh_db.labels
 
     if write_models:
