@@ -51,6 +51,10 @@ def main(argv=None):
         eval_every="2000", max_seconds="1200", grid="64,576",
         backbone="resnet18-spatial", render="240,320", lr="3e-4", seed="0",
         n_eval="32", dtype="auto", force_final_eval="0",
+        # domain_rand=1: domain-randomized training observations (random
+        # lighting + procedural backgrounds; round-4 AR fix #2). Ranking
+        # eval stays on the unlit set for curve comparability.
+        domain_rand="0",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -96,7 +100,10 @@ def main(argv=None):
 
     step_fn = make_train_step(model, cfg, mesh_db)
     batch_fn = jax.jit(
-        synthetic_batch_fn(mesh_db, cfg.batch_size, input_res, f=400.0)
+        synthetic_batch_fn(
+            mesh_db, cfg.batch_size, input_res, f=400.0,
+            domain_rand=args["domain_rand"] == "1",
+        )
     )
 
     # ----- ranking eval: grid-score held-out scenes -------------------

@@ -50,6 +50,12 @@ def main(argv=None):
         eval_every="4000", ckpt_every="8000", backbone="resnet18-spatial",
         render="240,320", lr="3e-4", lr_decay_step="45000", seed="0",
         refine_iters="3", n_eval="64", max_seconds="1e9",
+        # domain_rand=1: train on domain-randomized observations (random
+        # lighting + procedural backgrounds — the round-4 AR fix #2).
+        # Held-out eval stays on the unlit set so the learning curve is
+        # comparable across runs; eval on the randomized domain via
+        # demo_ar_baseline domain=realism after training.
+        domain_rand="0",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -100,7 +106,10 @@ def main(argv=None):
         logger.info(f"resumed from step {start_step}")
     step_fn = make_train_step(model, cfg, mesh_db)
     batch_fn = jax.jit(
-        synthetic_batch_fn(mesh_db, cfg.batch_size, input_res, f=400.0)
+        synthetic_batch_fn(
+            mesh_db, cfg.batch_size, input_res, f=400.0,
+            domain_rand=args["domain_rand"] == "1",
+        )
     )
 
     # Held-out eval set, fixed across the run.

@@ -200,6 +200,7 @@ def synthetic_batch_fn(
     z_range: tuple[float, float] = (0.35, 0.9),
     face_chunk: int = 64,
     renderer: str | None = None,
+    domain_rand: bool = False,
 ) -> Callable[[Array], BatchPoseData]:
     """Returns a jittable `key -> BatchPoseData` that renders random GT
     scenes of DB objects. Used by overfit tests, the multi-chip dryrun, and
@@ -208,7 +209,17 @@ def synthetic_batch_fn(
     `renderer`: "tiled" | "scan" | None (auto: the Pallas kernel on
     accelerators — ~25x the scan baseline, worth ~0.5 s/step at batch 32
     on v5e — and the scan path on CPU where interpret-mode Pallas is the
-    slower of the two)."""
+    slower of the two).
+
+    `domain_rand=True` randomizes the OBSERVATION domain per sample —
+    ambient/point lighting draws plus a procedural background composited
+    behind the object — the reference's PBR-images + VOC-background-
+    augmentation recipe (train_megapose.py dataset configs,
+    augmentations.py VOCBackgroundAugmentation). Models trained with the
+    default unlit black-background observations collapse on lit/cluttered
+    inputs (the round-4 AR root cause, NEXT.md); hypothesis RENDERS stay
+    unlit in both modes, matching the reference's contrast between
+    augmented observations and canonical renders."""
     if renderer is None:
         renderer = "scan" if jax.default_backend() == "cpu" else "tiled"
     H, W = input_res
@@ -220,7 +231,13 @@ def synthetic_batch_fn(
     quat_pool = jnp.asarray(super_fibonacci_quats(4096), jnp.float32)
 
     def fn(key: Array) -> BatchPoseData:
+        # Keep the historical 4-way split so domain_rand=False batches are
+        # bit-identical to earlier runs (eval sets in runs/*/history.json
+        # depend on it); extra draws come from fold_in.
         k1, k2, k3, k4 = jax.random.split(key, 4)
+        k5 = jax.random.fold_in(key, 101)
+        k6 = jax.random.fold_in(key, 102)
+        k7 = jax.random.fold_in(key, 103)
         L = mesh_db.n_labels
         mesh_idx = jax.random.randint(k1, (batch_size,), 0, L)
         q = quat_pool[jax.random.randint(k2, (batch_size,), 0, len(quat_pool))]
@@ -232,6 +249,15 @@ def synthetic_batch_fn(
         TCO = make_se3(R, jnp.concatenate([xy * z, z], -1))
         meshes = mesh_db.select(mesh_idx)
         K = jnp.broadcast_to(K1, (batch_size, 3, 3))
+        if domain_rand:
+            # Per-sample lighting draws (rasterizer broadcasts [B] arrays).
+            amb = jax.random.uniform(
+                k5, (batch_size,), minval=0.5, maxval=1.0
+            )
+            pnt = jax.random.uniform(k6, (batch_size,), minval=0.0, maxval=0.5)
+            light_kw = dict(light_ambient=amb, light_point=pnt)
+        else:
+            light_kw = dict(light_ambient=1.0, light_point=0.0)
         tex_kw = {}
         if (
             meshes.textures is not None
@@ -250,20 +276,32 @@ def synthetic_batch_fn(
 
             out = rasterizer_tiled.render_meshes_tiled(
                 *render_args, backface_cull=True,
-                light_ambient=1.0, light_point=0.0,
-                interpret=jax.default_backend() == "cpu", **tex_kw,
+                interpret=jax.default_backend() == "cpu",
+                **light_kw, **tex_kw,
             )
         else:
             out = rasterizer.render_meshes(
-                *render_args, chunk=face_chunk,
-                light_ambient=1.0, light_point=0.0, **tex_kw,
+                *render_args, chunk=face_chunk, **light_kw, **tex_kw,
             )
+        rgbs = out.rgb
+        if domain_rand:
+            # Procedural background behind the object (lazy import: no
+            # scripts -> training cycle exists, but keep the training
+            # module import-light).
+            from ..scripts.generate_synthetic_dataset import (
+                _random_background,
+            )
+
+            bg = jax.vmap(lambda k: _random_background(k, (H, W)))(
+                jax.random.split(k7, batch_size)
+            )
+            rgbs = jnp.where(out.mask[..., None], rgbs, bg.astype(rgbs.dtype))
         uv = project_points_robust(meshes.points, K, TCO)
         bboxes = masked_boxes_from_uv(
             uv, jnp.ones(uv.shape[:2], bool)
         )
         return BatchPoseData(
-            rgbs=out.rgb, K=K, TCO=TCO, bboxes=bboxes, mesh_idx=mesh_idx
+            rgbs=rgbs, K=K, TCO=TCO, bboxes=bboxes, mesh_idx=mesh_idx
         )
 
     return fn
