@@ -39,7 +39,8 @@ def main(argv=None):
         coarse_steps="800", epoch="", so3="576", n_eval="16",
         refine_iters="3", backbone="resnet18-spatial", render="240,320",
         batch_size="32", coarse_dir="", coarse_epoch="", lod_ab="0",
-        prune_ab="0", top_k="4", dtype="auto",
+        prune_ab="0", prune_grid="72", prune_keep="8", top_k="4",
+        dtype="auto",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -217,18 +218,24 @@ def main(argv=None):
 
     prune_report = None
     if args["prune_ab"] == "1":
-        # A/B: hierarchical coarse scoring (probe 72 + top-8 parents'
-        # Voronoi children, ~160 scored hypotheses) vs the full 576
-        # sweep — the accuracy check gating the bench's pruned row.
+        # A/B: hierarchical coarse scoring (probe grid + top-K parents'
+        # Voronoi children) vs the full sweep — the accuracy check gating
+        # the bench's pruned row. 72/8 was REJECTED by the round-4 A/B
+        # (top-1 agreement 0.5); prune_grid=/prune_keep= sweep gentler
+        # settings (e.g. 144/16) without editing the script.
         prune_report = ab_report(
             PoseEstimator(
                 coarse, coarse_state.params, refiner, ref_state.params,
                 mesh_db,
                 dataclasses.replace(
-                    icfg, SO3_prune_grid_size=72, SO3_prune_keep=8
+                    icfg,
+                    SO3_prune_grid_size=int(args["prune_grid"]),
+                    SO3_prune_keep=int(args["prune_keep"]),
                 ),
             ),
             "pruned",
+            prune_grid=int(args["prune_grid"]),
+            prune_keep=int(args["prune_keep"]),
         )
 
     diam = float(np.asarray(mesh_db.diameters).mean())
