@@ -96,6 +96,10 @@ def main(argv=None):
         resolution="240,320", n_obj_per_scene="2", lr="1e-3", width="32",
         object_dataset="", log_every="50", seed="0", predict_masks="0",
         demo_world="0", n_eval="0",
+        # Segmented long runs (VERDICT r3 #5): wall-clock bound per
+        # segment + periodic checkpoints; re-running the same CLI
+        # resumes from the latest checkpoint (like demo_long_refiner).
+        max_seconds="1e9", ckpt_every="1000",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -179,9 +183,39 @@ def main(argv=None):
         json.dumps(dataclasses.asdict(cfg), indent=2)
     )
 
-    key = jax.random.PRNGKey(int(args["seed"]))
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckpt_dir = (run_dir / "checkpoints").absolute()
+    start_step = 0
+    latest = ckpt_dir / "latest.txt"
+    if latest.exists():
+        start_step = int(latest.read_text().strip())
+        restored = ckptr.restore(
+            ckpt_dir / f"step_{start_step}",
+            {"params": params, "opt_state": opt_state},
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        logger.info(f"resumed from step {start_step}")
+
+    def save_ckpt(step):
+        ckptr.save(
+            ckpt_dir / f"step_{step}",
+            {"params": params, "opt_state": opt_state}, force=True,
+        )
+        ckptr.wait_until_finished()
+        latest.write_text(str(step))
+
+    ckpt_every = int(args["ckpt_every"])
+    max_seconds = float(args["max_seconds"])
+    key = jax.random.fold_in(
+        jax.random.PRNGKey(int(args["seed"])), start_step
+    )
     t0 = time.monotonic()
-    for i in range(n_steps):
+    i = start_step - 1  # loop may run zero iterations on resume-at-end
+    for i in range(start_step, n_steps):
+        if time.monotonic() - t0 > max_seconds:
+            break
         key, sub = jax.random.split(key)
         batch = batch_fn(sub)
         rgbs, boxes, classes, valids = batch[:4]
@@ -199,10 +233,14 @@ def main(argv=None):
             logger.info(str(log))
             with open(run_dir / "log.txt", "a") as fh:
                 fh.write(json.dumps(log) + "\n")
+        if (i + 1) % ckpt_every == 0:
+            save_ckpt(i + 1)
 
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.StandardCheckpointer()
+    if i >= start_step and (
+        not latest.exists() or int(latest.read_text().strip()) != i + 1
+    ):
+        save_ckpt(i + 1)
+    # Keep the historical "final" name for eval loaders.
     ckptr.save(
         (run_dir / "checkpoints" / "final").absolute(), {"params": params},
         force=True,
