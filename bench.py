@@ -138,7 +138,7 @@ def bench_renders(mesh_db, n_hyp=192, iters=5, resolution=(240, 320),
 
 
 def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
-                   prune=0, prune_keep=8):
+                   prune=0, prune_keep=8, coarse_res=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -197,6 +197,7 @@ def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
         bsz_objects=16,
         max_detections=n_detections,
         fused_pipeline=True,
+        coarse_render_size=tuple(coarse_res) if coarse_res else None,
     )
     est = PoseEstimator(
         coarse, cparams, refiner, rparams, mesh_db, cfg,
@@ -207,7 +208,7 @@ def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
 
 def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
                    want_mfu=False, want_phases=False, tag="", prune=0,
-                   prune_keep=8):
+                   prune_keep=8, coarse_res=None):
     """poses/s with `n_detections` objects per image (amortizes dispatch +
     fixed pipeline costs the way real BOP scenes do).
 
@@ -224,7 +225,7 @@ def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
     t_setup = time.monotonic()
     est, K = make_estimator(
         mesh_db, mesh_db_coarse, n_detections, hyp_pack=hyp_pack,
-        prune=prune, prune_keep=prune_keep,
+        prune=prune, prune_keep=prune_keep, coarse_res=coarse_res,
     )
     log(f"[{tag or n_detections}] estimator built in "
         f"{time.monotonic()-t_setup:.0f}s")
@@ -339,6 +340,7 @@ def run_worker(spec):
             want_phases=spec.get("phases", False),
             prune=spec.get("prune", 0),
             prune_keep=spec.get("prune_keep", 8),
+            coarse_res=spec.get("coarse_res"),
             tag=spec.get("tag", ""),
         )
         res["device"] = dev
@@ -386,29 +388,58 @@ def run_stage(spec, timeout=900):
     return out
 
 
-def _load_prune_ab_validation():
-    """The committed prune accuracy A/B (runs/final_pipeline/report.json,
-    written by demo_finalize_pipeline prune_ab=1 with the trained
-    checkpoints), or None when absent/unreadable."""
-    try:
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "runs", "final_pipeline", "report.json")
-        with open(path) as f:
-            rep = json.load(f)
-        ab = rep.get("prune_ab")
-        if not isinstance(ab, dict):
-            return None
-        return {k: ab[k] for k in
-                ("top1_pose_agreement_frac", "rot_deg_full",
-                 "rot_deg_pruned", "add_mm_full", "add_mm_pruned",
-                 "prune_grid", "prune_keep")
-                if k in ab}
-    except Exception:
-        return None
+def _load_ab_reports():
+    """All committed demo_finalize_pipeline reports, newest mtime first
+    (runs/final_pipeline*/report.json)."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(root, "runs", "final_pipeline*",
+                                   "report.json"))
+    reps = []
+    for p in sorted(paths, key=os.path.getmtime, reverse=True):
+        try:
+            with open(p) as f:
+                reps.append((p, json.load(f)))
+        except Exception:
+            continue
+    return reps
+
+
+def _ab_validates(ab, tag):
+    """Accuracy gate for promoting a faster configuration to the
+    headline: top-1 agreement >= 0.9, or (median rot delta < 1 deg AND a
+    bounded per-frame ADD tail — medians alone hid an 86 mm worst-frame
+    regression in the rejected 144/16 prune A/B)."""
+    if not isinstance(ab, dict):
+        return False
+    if ab.get("top1_pose_agreement_frac", 0.0) >= 0.9:
+        return True
+    rot_delta = abs(ab.get(f"rot_deg_{tag}", 1e9)
+                    - ab.get("rot_deg_full", 0.0))
+    tail = ab.get("add_mm_worst_frame_delta")
+    return rot_delta < 1.0 and tail is not None and tail < 5.0
+
+
+def _load_validation(kind):
+    """Newest committed A/B of `kind` ("prune_ab" | "coarse_res_ab"):
+    returns (ab_dict, validated: bool) or (None, False)."""
+    for _, rep in _load_ab_reports():
+        ab = rep.get(kind)
+        if isinstance(ab, dict):
+            tag = "pruned" if kind == "prune_ab" else "coarse_res"
+            return ab, _ab_validates(ab, tag)
+    return None, False
 
 
 def main():
+    """Stage order is budget-aware (VERDICT r4 weak #1: the headline must
+    land within the driver's wall-clock cap): the HEADLINE pipeline stage
+    runs FIRST, and the accumulating aggregate JSON is printed to stdout
+    after EVERY stage, so a cap at any point still leaves a parseable
+    final line with the best number measured so far."""
     t_start = time.monotonic()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     result = {
         "metric": ("poses/sec/chip end-to-end "
                    "(coarse 576-grid + 5 refiner iters)"),
@@ -421,138 +452,153 @@ def main():
             "docstring); reference publishes no measured numbers"
         ),
         "failed_stages": [],
+        "skipped_stages": [],
     }
 
-    # ---- renders: pack sweep at bench scale, scan baseline, 34k faces ----
-    renders = {}
-    # pack=4 is out of the sweep since the face-segment cap dropped to
-    # 8192 (round-4 OOM fix): at pack 4 the 3.2k-face bench mesh splits
-    # into 2 segments whose kernel compiles >7 min on the tunnel chip,
-    # and the measured pack-2 single-segment rate (1728 renders/s)
-    # already beats r03's pack-4 best (1649).
-    for pack in (1, 2):
-        r = run_stage({"stage": "renders", "pack": pack,
-                       "tag": f"renders/pack{pack}"}, timeout=900)
-        if r:
-            renders[pack] = r["renders_per_sec"]
-            result["device"] = r.get("device")
-        else:
-            result["failed_stages"].append(f"renders/pack{pack}")
-    best_pack = max(renders, key=renders.get) if renders else 1
-    result["renders_per_sec"] = renders.get(best_pack, 0.0)
-    result["renders_per_sec_by_pack"] = {
-        str(k): v for k, v in renders.items()
-    }
+    def emit():
+        result["bench_wall_s"] = round(time.monotonic() - t_start, 1)
+        print(json.dumps(result), flush=True)
 
-    r = run_stage({"stage": "renders", "mode": "scan", "n_hyp": 64,
-                   "tag": "renders/scan"}, timeout=900)
-    result["renders_per_sec_scan"] = r["renders_per_sec"] if r else 0.0
-    if not r:
-        result["failed_stages"].append("renders/scan")
+    def remaining():
+        return budget_s - (time.monotonic() - t_start)
 
-    r = run_stage({"stage": "renders", "big": True, "n_hyp": 64,
-                   "tag": "renders/34k-faces"}, timeout=900)
-    result["renders_per_sec_34k_faces"] = r["renders_per_sec"] if r else 0.0
-    if not r:
-        result["failed_stages"].append("renders/34k-faces")
+    # Accuracy-validated fast-path configuration for the headline stage:
+    # low-res coarse-sweep rasterization (InferenceConfig.
+    # coarse_render_size) when the committed demo_finalize_pipeline
+    # coarse_res_ab A/B validates it on the trained checkpoints.
+    cres_ab, cres_ok = _load_validation("coarse_res_ab")
+    result["coarse_res_ab_validation"] = cres_ab
+    coarse_res = None
+    if cres_ok and cres_ab.get("coarse_render_size"):
+        coarse_res = [int(x) for x in cres_ab["coarse_render_size"]]
+        result["metric"] = (
+            "poses/sec/chip end-to-end (coarse 576-grid rasterized at "
+            f"{coarse_res[0]}x{coarse_res[1]} + 5 refiner iters; "
+            "accuracy-validated by the committed coarse_res A/B)")
 
-    # ---- pipeline sweep: detections x hyp_pack at bench scale ----
+    # ---- HEADLINE: pipeline D=8, pack=2 (the measured best config) ----
+    best_d, best_pack = 8, 2
+    headline_spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
+                     "mfu": True, "tag": f"pipeline/D{best_d}-pack{best_pack}"}
+    if coarse_res:
+        headline_spec["coarse_res"] = coarse_res
+        headline_spec["tag"] += f"-cres{coarse_res[0]}x{coarse_res[1]}"
+    r = run_stage(headline_spec, timeout=1500)
     per_d = {}
-    best = (0.0, None, 1, None)
-    configs = [(1, 1), (8, 1)]
-    if best_pack != 1:
-        configs.append((8, best_pack))
-    for D, pack in configs:
-        tag = f"pipeline/D{D}-pack{pack}"
-        r = run_stage({"stage": "pipeline", "D": D, "pack": pack,
-                       "mfu": True, "tag": tag}, timeout=1800)
-        if r:
-            per_d[f"{D}/pack{pack}"] = round(r["poses_per_s"], 4)
-            if r["poses_per_s"] > best[0]:
-                best = (r["poses_per_s"], D, pack, r)
-        else:
-            result["failed_stages"].append(tag)
-    poses_per_s, best_d, best_pipe_pack, best_r = best
+    if r:
+        result["device"] = r.get("device")
+        per_d[f"{best_d}/pack{best_pack}"] = round(r["poses_per_s"], 4)
+        result["value"] = round(r["poses_per_s"], 4)
+        result["vs_baseline"] = round(
+            r["poses_per_s"] / BASELINE_POSES_PER_S, 2)
+        result["best_n_detections"] = best_d
+        result["best_hyp_pack"] = best_pack
+        result["mfu"] = round(r.get("mfu", 0.0), 4)
+        result["flops_per_image"] = r.get("flops_per_image")
+        result["first_call_s_cold"] = r.get("compile_s")
+    else:
+        result["failed_stages"].append(headline_spec["tag"])
     result["poses_per_s_by_detections"] = per_d
-    result["value"] = round(poses_per_s, 4)
-    result["vs_baseline"] = round(poses_per_s / BASELINE_POSES_PER_S, 2)
-    result["best_n_detections"] = best_d
-    result["best_hyp_pack"] = best_pipe_pack
-    if best_r:
-        result["mfu"] = round(best_r.get("mfu", 0.0), 4)
-        result["flops_per_image"] = best_r.get("flops_per_image")
-        # Cold compile time of the winning config (fresh process, shapes
-        # not yet in the persistent cache unless a previous driver run
-        # populated it).
-        result["first_call_s_cold"] = best_r.get("compile_s")
+    emit()
 
-    if best_d is not None:
-        # Phase split for the best config, in a FRESH process: its fused
-        # compile re-uses the persistent XLA cache entry written by the
-        # sweep stage above, so compile_s here measures the WARM
-        # cross-process first call (VERDICT r3 item 7).
-        tag = f"phases/D{best_d}-pack{best_pipe_pack}"
-        r = run_stage({"stage": "pipeline", "D": best_d,
-                       "pack": best_pipe_pack, "phases": True, "tag": tag},
-                      timeout=1800)
+    # ---- phase split + warm cross-process compile for the headline ----
+    spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
+            "phases": True, "tag": f"phases/D{best_d}-pack{best_pack}"}
+    if coarse_res:
+        spec["coarse_res"] = coarse_res
+    if remaining() > 300:
+        r = run_stage(spec, timeout=min(1500, max(300, remaining())))
         if r:
             result["phase_ms"] = r.get("phase_ms")
             result["phased_total_ms"] = r.get("phased_total_ms")
             result["first_call_s_warm"] = r.get("compile_s")
         else:
-            result["failed_stages"].append(tag)
+            result["failed_stages"].append(spec["tag"])
+    else:
+        result["skipped_stages"].append(spec["tag"])
+    emit()
 
-        # Hierarchical coarse pruning (probe grid + top-K parents'
-        # children). Promoted to the HEADLINE value only when the
-        # committed accuracy A/B (demo_finalize_pipeline prune_ab=1 at
-        # n_eval>=16 on the trained checkpoints) validates it: top-1
-        # pose agreement vs the full 576 sweep >= 0.9, or a median
-        # rotation delta under 1 degree. Otherwise reported separately.
-        # The measured settings come FROM the committed A/B when present
-        # (prune_grid/prune_keep extras), so bench always times the
-        # accuracy-checked configuration (72/8 was rejected in round 4;
-        # gentler settings are swept via demo_finalize_pipeline
-        # prune_grid=/prune_keep=).
-        ab_pre = _load_prune_ab_validation() or {}
-        p_grid = int(ab_pre.get("prune_grid", 72))
-        p_keep = int(ab_pre.get("prune_keep", 8))
+    # ---- D=1 row (dispatch-bound single-detection latency) ----
+    spec = {"stage": "pipeline", "D": 1, "pack": 1, "tag": "pipeline/D1-pack1"}
+    if coarse_res:
+        spec["coarse_res"] = coarse_res
+    if remaining() > 300:
+        r = run_stage(spec, timeout=min(1200, max(300, remaining())))
+        if r:
+            per_d["1/pack1"] = round(r["poses_per_s"], 4)
+        else:
+            result["failed_stages"].append(spec["tag"])
+    else:
+        result["skipped_stages"].append(spec["tag"])
+    emit()
+
+    # ---- hypothesis renders/s (pack 2 = the pipeline config) ----
+    renders = {}
+    for pack in (2, 1):
+        tag = f"renders/pack{pack}"
+        if remaining() < 240:
+            result["skipped_stages"].append(tag)
+            continue
+        r = run_stage({"stage": "renders", "pack": pack, "tag": tag},
+                      timeout=min(900, max(240, remaining())))
+        if r:
+            renders[pack] = r["renders_per_sec"]
+        else:
+            result["failed_stages"].append(tag)
+        best_pack_r = max(renders, key=renders.get) if renders else 1
+        result["renders_per_sec"] = renders.get(best_pack_r, 0.0)
+        result["renders_per_sec_by_pack"] = {
+            str(k): v for k, v in renders.items()}
+        emit()
+
+    # ---- hierarchical pruning row (headline-promoted only when the
+    # committed prune A/B validates it; 72/8 and 144/16 were rejected) --
+    ab, prune_ok = _load_validation("prune_ab")
+    result["prune_ab_validation"] = ab
+    if ab is not None and "prune_grid" in ab and remaining() > 300:
+        p_grid = int(ab["prune_grid"])
+        p_keep = int(ab["prune_keep"])
         tag = f"pruned{p_grid}-{p_keep}/D{best_d}"
-        r = run_stage({"stage": "pipeline", "D": best_d,
-                       "pack": best_pipe_pack, "prune": p_grid,
-                       "prune_keep": p_keep, "tag": tag}, timeout=1800)
+        spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
+                "prune": p_grid, "prune_keep": p_keep, "tag": tag}
+        if coarse_res:
+            spec["coarse_res"] = coarse_res
+        r = run_stage(spec, timeout=min(1200, max(300, remaining())))
         result[f"poses_per_s_pruned_{p_grid}_{p_keep}"] = (
-            round(r["poses_per_s"], 4) if r else 0.0
-        )
+            round(r["poses_per_s"], 4) if r else 0.0)
         if not r:
             result["failed_stages"].append(tag)
-        ab = _load_prune_ab_validation()
-        result["prune_ab_validation"] = ab
-        if (r and ab is not None
-                and (ab.get("top1_pose_agreement_frac", 0.0) >= 0.9
-                     or abs(ab.get("rot_deg_pruned", 1e9)
-                            - ab.get("rot_deg_full", 0.0)) < 1.0)
-                and r["poses_per_s"] > result["value"]):
+        if r and prune_ok and r["poses_per_s"] > result["value"]:
             result["value"] = round(r["poses_per_s"], 4)
             result["vs_baseline"] = round(
-                r["poses_per_s"] / BASELINE_POSES_PER_S, 2
-            )
+                r["poses_per_s"] / BASELINE_POSES_PER_S, 2)
             result["metric"] = (
                 f"poses/sec/chip end-to-end (hierarchical {p_grid}->"
                 f"{p_keep}-parent coarse over the 576 grid + 5 refiner "
                 "iters; accuracy-validated by the committed prune A/B)")
+        emit()
 
-    # ---- real-scale pipeline (34k-face mesh, 2k-face coarse LOD) ----
-    tag = "pipeline/real-scale-34k"
-    r = run_stage({"stage": "pipeline", "D": 8, "big": True, "tag": tag},
-                  timeout=1800)
-    result["poses_per_s_real_scale_34k_faces"] = (
-        round(r["poses_per_s"], 4) if r else 0.0
-    )
-    if not r:
-        result["failed_stages"].append(tag)
+    # ---- secondary render rows + real-scale pipeline ----
+    for spec, key in (
+        ({"stage": "renders", "mode": "scan", "n_hyp": 64,
+          "tag": "renders/scan"}, "renders_per_sec_scan"),
+        ({"stage": "renders", "big": True, "n_hyp": 64,
+          "tag": "renders/34k-faces"}, "renders_per_sec_34k_faces"),
+        ({"stage": "pipeline", "D": 8, "big": True,
+          "tag": "pipeline/real-scale-34k"},
+         "poses_per_s_real_scale_34k_faces"),
+    ):
+        if remaining() < 300:
+            result["skipped_stages"].append(spec["tag"])
+            continue
+        r = run_stage(spec, timeout=min(1200, max(300, remaining())))
+        val = r.get("renders_per_sec", r.get("poses_per_s")) if r else 0.0
+        result[key] = round(val, 4) if r else 0.0
+        if not r:
+            result["failed_stages"].append(spec["tag"])
+        emit()
 
-    result["bench_wall_s"] = round(time.monotonic() - t_start, 1)
-    print(json.dumps(result))
+    emit()
 
 
 if __name__ == "__main__":

@@ -88,6 +88,25 @@ class PoseEstimator:
             )
         else:
             self.coarse_model_rescore = coarse_model
+        # Sweep-stage twin (InferenceConfig.coarse_render_size): the bulk
+        # SO(3)-grid sweep rasterizes its renders at a reduced resolution
+        # and upsamples before the CNN — same params (render resolution
+        # does not touch the param tree), ~linear raster-cost savings on
+        # the phase that dominates pipeline time. Rescoring keeps
+        # full-resolution renders.
+        if cfg.coarse_render_size and tuple(cfg.coarse_render_size) != tuple(
+            coarse_model.cfg.render_size
+        ):
+            import dataclasses as _dc
+
+            self.coarse_model_sweep = type(coarse_model)(
+                _dc.replace(
+                    coarse_model.cfg,
+                    render_at=tuple(cfg.coarse_render_size),
+                )
+            )
+        else:
+            self.coarse_model_sweep = coarse_model
         self.refiner_model = refiner_model
         self.refiner_params = refiner_params
         self.mesh_db = mesh_db
@@ -179,7 +198,7 @@ class PoseEstimator:
                 images, (chunk,) + images.shape[1:]
             )
             K_c = jnp.broadcast_to(K, (chunk, 3, 3))
-            out = self.coarse_model.apply(
+            out = self.coarse_model_sweep.apply(
                 coarse_params,
                 imgs,
                 K_c,
@@ -294,7 +313,7 @@ class PoseEstimator:
         from jax.sharding import PartitionSpec as P
 
         mesh = self.device_mesh
-        model = self.coarse_model
+        model = self.coarse_model_sweep
         mesh_db = self.mesh_db_coarse
 
         def score_shard(params, db, images_r, K_r, TCO_s, idx_s):
@@ -701,7 +720,7 @@ class PoseEstimator:
             chunk = min(cfg.bsz_images, n)
             trips = -(-n // chunk)
             return trips * score_chunk_flops(
-                self.coarse_model, self.coarse_params,
+                self.coarse_model_sweep, self.coarse_params,
                 self.mesh_db_coarse, chunk,
             )
 

@@ -32,6 +32,15 @@ class InferenceConfig:
     # final hypotheses always come from the full grid.
     SO3_prune_grid_size: int = 0
     SO3_prune_keep: int = 8
+    # Rasterization resolution of the coarse SO(3)-sweep renders (None =
+    # the model's render_size). Renders are bilinearly upsampled to the
+    # model's input size before the CNN, so trained checkpoints apply
+    # unchanged (PosePredictorConfig.render_at); the raster cost — ~70%
+    # of end-to-end pipeline time at the full 576 grid — drops with the
+    # pixel-tile count. Rescoring of refined hypotheses stays at full
+    # resolution (it is only D*top_k scores). Validated by the
+    # demo_finalize_pipeline coarse_res_ab A/B before bench promotes it.
+    coarse_render_size: tuple[int, int] | None = None
     n_refiner_iterations: int = 5
     n_pose_hypotheses: int = 5
     run_depth_refiner: bool = False

@@ -31,7 +31,12 @@ import jax.numpy as jnp
 
 from ..meshes.mesh_db import BatchedMeshes
 from ..ops import cropping, multiview, rasterizer, rasterizer_tiled
-from ..ops.camera import get_K_crop_resize, masked_boxes_from_uv, project_points_robust
+from ..ops.camera import (
+    get_K_crop_resize,
+    get_K_resize,
+    masked_boxes_from_uv,
+    project_points_robust,
+)
 from ..ops.pose_init import pose_update_with_reference_point
 from ..ops.se3 import normalize_T, rotmat_from_ortho6d
 from .backbones import make_backbone
@@ -71,6 +76,17 @@ class PosePredictorConfig:
 
     backbone: str = "resnet34"
     render_size: tuple[int, int] = (240, 320)
+    # Rasterize rendered views at this (lower) resolution and bilinearly
+    # upsample to `render_size` before the CNN (None = rasterize at
+    # render_size). The CNN input shape — and therefore the param tree —
+    # is unchanged, so trained checkpoints apply as-is; only the raster
+    # cost drops (it is linear in pixel tiles). Used for the coarse
+    # SO(3)-sweep, where ~70% of pipeline time is rendering and the
+    # classifier only needs silhouette-level fidelity
+    # (InferenceConfig.coarse_render_size). TPU-first lever with no
+    # reference analog (the Panda3D farm renders everything at 240x320,
+    # panda3d_batch_renderer.py:61-71).
+    render_at: tuple[int, int] | None = None
     multiview_type: str = "TCO+front_3views"
     views_inplane_rotations: bool = False
     remove_TCO_rendering: bool = False
@@ -256,6 +272,10 @@ class PosePredictor(nn.Module):
             H, W = cfg.render_size
             c_render = 3 + 3 * cfg.render_normals + cfg.render_depth
             return jnp.zeros((B, H, W, V * c_render), jnp.float32)
+        # Low-res raster + upsample (see PosePredictorConfig.render_at).
+        ras_hw = tuple(cfg.render_at) if cfg.render_at else tuple(cfg.render_size)
+        if ras_hw != tuple(cfg.render_size):
+            KV = get_K_resize(KV, cfg.render_size, ras_hw)
         mesh_mv = jax.tree.map(lambda a: jnp.repeat(a, V, axis=0), meshes)
         if ambient is not None:
             light_ambient = jnp.repeat(ambient, V, axis=0)
@@ -274,7 +294,7 @@ class PosePredictor(nn.Module):
             mesh_mv.face_valid,
             TCV_O.reshape(B * V, 4, 4),
             KV.reshape(B * V, 3, 3),
-            cfg.render_size,
+            ras_hw,
         )
         tex_kw = {}
         if (
@@ -320,8 +340,12 @@ class PosePredictor(nn.Module):
                 out.depth[..., None], jnp.repeat(tCR, V, axis=0)
             )
             chans.append(depth)
-        r = jnp.concatenate(chans, axis=-1)  # [B*V, H, W, Cr]
+        r = jnp.concatenate(chans, axis=-1)  # [B*V, h, w, Cr]
         H, W = cfg.render_size
+        if ras_hw != (H, W):
+            r = jax.image.resize(
+                r, (r.shape[0], H, W, r.shape[-1]), method="bilinear"
+            )
         r = r.reshape(B, V, H, W, -1)
         return jnp.moveaxis(r, 1, 3).reshape(B, H, W, -1)
 

@@ -112,6 +112,27 @@ def get_K_crop_resize(
     return new_K
 
 
+def get_K_resize(
+    K: Array, orig_size: tuple[int, int], new_size: tuple[int, int]
+) -> Array:
+    """Update intrinsics for a whole-image resize `orig_size -> new_size`
+    (both (h, w)); pixel-center convention, consistent with
+    `get_K_crop_resize` (crop == the full image) and with half-pixel-center
+    image resampling (`jax.image.resize`): fx' = s*fx, cx' = s*(cx+0.5)-0.5.
+
+    Used by the coarse-stage low-resolution render path
+    (`PosePredictorConfig.render_at`): the same pose projects to the same
+    relative pixel position at the reduced raster size."""
+    sy = new_size[0] / orig_size[0]
+    sx = new_size[1] / orig_size[1]
+    new_K = K
+    new_K = new_K.at[..., 0, 0].set(sx * K[..., 0, 0])
+    new_K = new_K.at[..., 1, 1].set(sy * K[..., 1, 1])
+    new_K = new_K.at[..., 0, 2].set(sx * (K[..., 0, 2] + 0.5) - 0.5)
+    new_K = new_K.at[..., 1, 2].set(sy * (K[..., 1, 2] + 0.5) - 0.5)
+    return new_K
+
+
 def look_at_R(eye: Array, target: Array, up_hint: Array, eps: float = 1e-9) -> Array:
     """Rotation `R_WC` of a CV camera at `eye` looking at `target`.
 

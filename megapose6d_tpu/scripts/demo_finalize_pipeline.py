@@ -40,7 +40,7 @@ def main(argv=None):
         refine_iters="3", backbone="resnet18-spatial", render="240,320",
         batch_size="32", coarse_dir="", coarse_epoch="", lod_ab="0",
         prune_ab="0", prune_grid="72", prune_keep="8", top_k="4",
-        dtype="auto",
+        dtype="auto", coarse_res_ab="0", coarse_render="120,160",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -194,6 +194,12 @@ def main(argv=None):
             f"add_mm_{tag}": float(np.median(a_add) * 1000),
             "rot_deg_full": float(np.median(pipe_rot)),
             f"rot_deg_{tag}": float(np.median(a_rot)),
+            # Per-frame tail: medians can hide a single catastrophic
+            # regression (the rejected 144/16 prune A/B had a 86 mm
+            # worst-frame ADD miss behind a 0.05 mm median delta).
+            "add_mm_worst_frame_delta": float(
+                np.max(np.asarray(a_add) - np.asarray(pipe_add)) * 1000
+            ),
             **extra,
         }
         logger.info(f"{tag} A/B: {json.dumps(rep)}")
@@ -214,6 +220,26 @@ def main(argv=None):
             ),
             "lod",
             coarse_lod_faces=int(mesh_db_lod.faces.shape[1]),
+        )
+
+    coarse_res_report = None
+    if args["coarse_res_ab"] == "1":
+        # A/B: coarse SO(3)-sweep renders rasterized at a reduced
+        # resolution and upsampled before the CNN (same checkpoint —
+        # InferenceConfig.coarse_render_size) vs full-resolution renders.
+        # This is the ~70%-of-pipeline render-cost lever (STATUS.md perf
+        # decomposition); bench.py promotes the low-res headline only
+        # when this committed A/B validates it. Reference coarse scoring
+        # semantics: models/pose_rigid.py:634-708 (always 240x320).
+        c_res = tuple(int(x) for x in args["coarse_render"].split(","))
+        coarse_res_report = ab_report(
+            PoseEstimator(
+                coarse, coarse_state.params, refiner, ref_state.params,
+                mesh_db,
+                dataclasses.replace(icfg, coarse_render_size=c_res),
+            ),
+            "coarse_res",
+            coarse_render_size=list(c_res),
         )
 
     prune_report = None
@@ -267,6 +293,7 @@ def main(argv=None):
         "coarse_dir": args["coarse_dir"] or None,
         "lod_ab": lod_report,
         "prune_ab": prune_report,
+        "coarse_res_ab": coarse_res_report,
     }
     (out_dir / "report.json").write_text(json.dumps(report, indent=2))
     logger.info(json.dumps(report, indent=2))

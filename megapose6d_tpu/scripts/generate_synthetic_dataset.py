@@ -131,8 +131,17 @@ def make_scene_renderer(
     )
     z_bg = 1.45  # background plane depth (behind the farthest object)
 
-    def fn(key):
+    def fn(key, key_light=None):
+        # `key_light`: optional separate PRNG for the LIGHTING draws
+        # (ambient/point intensities + light position) so scene geometry
+        # and lighting are independently controllable — used by the
+        # unlit-invariance test (same scene, different light draws) and
+        # lighting-ablation sweeps. Default None keeps the historical
+        # single-key stream bit-identical (committed datasets depend on
+        # it).
         k1, k2, k3, k4, k5, k6, k7, k8, k9 = jax.random.split(key, 9)
+        if key_light is not None:
+            k5, k6, k8, k9 = jax.random.split(key_light, 4)
         L = mesh_db.n_labels
         mesh_idx = jax.random.randint(k1, (n_obj,), 0, L)
         q = quat_pool[jax.random.randint(k2, (n_obj,), 0, len(quat_pool))]

@@ -212,10 +212,12 @@ def main(argv=None):
         jax.random.PRNGKey(int(args["seed"])), start_step
     )
     t0 = time.monotonic()
-    i = start_step - 1  # loop may run zero iterations on resume-at-end
+    # `done` counts COMPLETED steps: the time check runs AFTER each step,
+    # so a timed-out segment checkpoints the step it actually trained
+    # (saving i+1 on a pre-step break mislabels the checkpoint and makes
+    # resume silently skip a step — ADVICE r4).
+    done = start_step
     for i in range(start_step, n_steps):
-        if time.monotonic() - t0 > max_seconds:
-            break
         key, sub = jax.random.split(key)
         batch = batch_fn(sub)
         rgbs, boxes, classes, valids = batch[:4]
@@ -223,9 +225,10 @@ def main(argv=None):
         params, opt_state, loss, aux = step(
             params, opt_state, rgbs, boxes, classes, valids, seg
         )
-        if (i + 1) % int(args["log_every"]) == 0:
+        done = i + 1
+        if done % int(args["log_every"]) == 0:
             log = {
-                "step": i + 1,
+                "step": done,
                 "loss": float(loss),
                 **{k: float(v) for k, v in aux.items()},
                 "time": time.monotonic() - t0,
@@ -233,13 +236,15 @@ def main(argv=None):
             logger.info(str(log))
             with open(run_dir / "log.txt", "a") as fh:
                 fh.write(json.dumps(log) + "\n")
-        if (i + 1) % ckpt_every == 0:
-            save_ckpt(i + 1)
+        if done % ckpt_every == 0:
+            save_ckpt(done)
+        if time.monotonic() - t0 > max_seconds:
+            break
 
-    if i >= start_step and (
-        not latest.exists() or int(latest.read_text().strip()) != i + 1
+    if done > start_step and (
+        not latest.exists() or int(latest.read_text().strip()) != done
     ):
-        save_ckpt(i + 1)
+        save_ckpt(done)
     # Keep the historical "final" name for eval loaders.
     ckptr.save(
         (run_dir / "checkpoints" / "final").absolute(), {"params": params},

@@ -99,3 +99,52 @@ def test_pruned_pipeline_compiles_at_bench_shapes():
     # per detection: coarse flops must drop to ~1/4 of the full sweep's
     # 5.6e13 (same shapes as the first test).
     assert 0 < est_flops["flops_coarse"] < 2.5e13
+
+
+@pytest.mark.slow
+def test_coarse_res_pipeline_compiles_at_bench_shapes():
+    """The low-res coarse-sweep bench config (coarse_render_size=120x160,
+    bench.py's round-5 headline candidate) must compile at bench shapes;
+    the Pallas raster path at 120x160 exercises the non-multiple-of-128
+    width tile padding in interpret mode."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from megapose6d_tpu.data import ObservationTensor
+    from megapose6d_tpu.inference import make_detections
+
+    mesh_db, mesh_db_coarse = bench.build_world()
+    n_detections = 8
+    est, K = bench.make_estimator(
+        mesh_db, mesh_db_coarse, n_detections, coarse_res=(120, 160)
+    )
+    assert est.coarse_model_sweep.cfg.render_at == (120, 160)
+    obs = ObservationTensor(
+        images=np.zeros((1, 480, 640, 3), np.float32), K=K[None]
+    )
+    boxes = np.tile(
+        np.asarray([[265.0, 185.0, 375.0, 295.0]], np.float32),
+        (n_detections, 1),
+    )
+    detections = make_detections(["obj1"] * n_detections, boxes)
+    cost = est.fused_pipeline_cost_analysis(obs, detections)
+    assert cost.get("flops", 0) > 0 or len(cost) > 0
+
+
+def test_ab_validation_gate():
+    """_ab_validates: agreement >= 0.9 promotes; medians alone do NOT
+    promote without a bounded per-frame tail (ADVICE r4: the 144/16
+    prune A/B hid an 86 mm worst-frame ADD miss behind a 0.05 mm median
+    delta)."""
+    ok = {"top1_pose_agreement_frac": 0.94}
+    assert bench._ab_validates(ok, "coarse_res")
+    # Median-delta path requires the tail key AND a small tail.
+    median_only = {
+        "top1_pose_agreement_frac": 0.6,
+        "rot_deg_full": 4.3, "rot_deg_pruned": 4.4,
+    }
+    assert not bench._ab_validates(median_only, "pruned")
+    with_tail = dict(median_only, add_mm_worst_frame_delta=1.2)
+    assert bench._ab_validates(with_tail, "pruned")
+    bad_tail = dict(median_only, add_mm_worst_frame_delta=86.0)
+    assert not bench._ab_validates(bad_tail, "pruned")
+    assert not bench._ab_validates(None, "pruned")

@@ -291,10 +291,18 @@ def test_datagen_unlit_domain_matched():
     assert bg.any() and (~bg).any()
     assert np.abs(rgb_u[bg]).max() == 0.0
     assert rgb_u[~bg].max() > 0.05
-    # Unlit foreground is flat albedo: invariant across lighting keys
-    # (the realism arm varies with the per-frame light draw).
-    rgb_u2, _, seg_u2, *_ = map(np.asarray, unlit(key))
-    np.testing.assert_allclose(rgb_u, rgb_u2, atol=1e-6)
+    # Unlit foreground is flat albedo: invariant across DIFFERENT light
+    # draws for the same scene (key_light separates the lighting PRNG
+    # from the scene PRNG), while the realism arm must vary with them.
+    rgb_u_a, _, seg_u_a, *_ = map(
+        np.asarray, unlit(key, jax.random.PRNGKey(50))
+    )
+    rgb_u_b, *_ = map(np.asarray, unlit(key, jax.random.PRNGKey(51)))
+    np.testing.assert_array_equal(seg_u_a, seg_u)  # same scene
+    np.testing.assert_allclose(rgb_u_a, rgb_u_b, atol=1e-6)
+    rgb_l_a, *_ = map(np.asarray, lit(key, jax.random.PRNGKey(50)))
+    rgb_l_b, *_ = map(np.asarray, lit(key, jax.random.PRNGKey(51)))
+    assert np.abs(rgb_l_a - rgb_l_b).max() > 1e-3
 
 
 def test_synthetic_batch_domain_rand():

@@ -257,3 +257,97 @@ def test_rescore_f32_twin_matches_f32_model(setup):
     det = make_detections(["cube"], gt_detection_box(TCO_gt))
     out, _ = est16.run_inference_pipeline(obs, det)
     assert np.isfinite(out.poses).all()
+
+
+def test_get_K_resize_projection_consistency():
+    """get_K_resize: a point projected through the resized intrinsics
+    lands at the half-pixel-rescaled pixel position (the convention of
+    jax.image.resize and get_K_crop_resize with a full-image crop)."""
+    from megapose6d_tpu.ops.camera import get_K_resize
+
+    K = jnp.asarray(
+        [[[130.0, 0, 63.5], [0, 120.0, 47.0], [0, 0, 1.0]]], jnp.float32
+    )
+    K2 = get_K_resize(K, (48, 64), (24, 32))
+    pt = jnp.asarray([[0.03, -0.02, 0.5]])
+
+    def proj(Km):
+        uvw = (Km[0] @ pt.T).T
+        return uvw[0, :2] / uvw[0, 2]
+
+    uv_full = np.asarray(proj(K))
+    uv_half = np.asarray(proj(K2))
+    np.testing.assert_allclose(uv_half[0], (uv_full[0] + 0.5) * 0.5 - 0.5,
+                               atol=1e-5)
+    np.testing.assert_allclose(uv_half[1], (uv_full[1] + 0.5) * 0.5 - 0.5,
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_render_at_geometry_matches_full_res(setup):
+    """render_at (low-res raster + upsample): the upsampled render must
+    geometrically align with the full-resolution render — same silhouette
+    placement, small overall L1 gap. A wrong intrinsics rescale would
+    shift the object and blow both up."""
+    import dataclasses
+
+    est, obs, TCO_gt = setup
+    meshes1 = est.mesh_db.select(est.mesh_db.label_to_index(["cube"]))
+    imgs = jnp.asarray(obs.images)
+    K = jnp.asarray(obs.K)
+    T = jnp.asarray(TCO_gt)[None]
+
+    model_lo = PosePredictor(
+        dataclasses.replace(est.coarse_model.cfg, render_at=(24, 32))
+    )
+    out_full = est.coarse_model.apply(
+        est.coarse_params, imgs, K, T, meshes1,
+        method=PosePredictor.score_views,
+    )
+    out_lo = model_lo.apply(
+        est.coarse_params, imgs, K, T, meshes1,
+        method=PosePredictor.score_views,
+    )
+    r_full = np.asarray(out_full["renders"])
+    r_lo = np.asarray(out_lo["renders"])
+    assert r_full.shape == r_lo.shape  # CNN input shape unchanged
+    sil_full = r_full[..., :3].sum(-1) > 1e-3
+    sil_lo = r_lo[..., :3].sum(-1) > 1e-3
+    inter = (sil_full & sil_lo).sum()
+    union = (sil_full | sil_lo).sum()
+    assert union > 0 and inter / union > 0.7, (inter, union)
+    assert np.abs(r_full - r_lo).mean() < 0.1
+
+
+@pytest.mark.slow
+def test_coarse_render_size_pipeline(setup):
+    """Full pipeline with InferenceConfig.coarse_render_size: runs
+    fused + phased, outputs finite, and the sweep twin was built with
+    render_at while the rescore model stays full-res."""
+    import dataclasses
+
+    est, obs, TCO_gt = setup
+    cfg2 = dataclasses.replace(
+        est.cfg, coarse_render_size=(24, 32), fused_pipeline=True
+    )
+    est2 = PoseEstimator(
+        est.coarse_model, est.coarse_params, est.refiner_model,
+        est.refiner_params, est.mesh_db, cfg2,
+    )
+    assert est2.coarse_model_sweep.cfg.render_at == (24, 32)
+    assert est2.coarse_model_rescore.cfg.render_at is None
+
+    det = make_detections(["cube"], gt_detection_box(TCO_gt))
+    out, extra = est2.run_inference_pipeline(obs, det)
+    assert np.isfinite(out.poses).all()
+    assert np.isfinite(extra["coarse"]["logits"]).all()
+
+    cfg3 = dataclasses.replace(cfg2, fused_pipeline=False)
+    est3 = PoseEstimator(
+        est.coarse_model, est.coarse_params, est.refiner_model,
+        est.refiner_params, est.mesh_db, cfg3,
+    )
+    out3, _ = est3.run_inference_pipeline(obs, det)
+    np.testing.assert_allclose(
+        np.asarray(out.poses), np.asarray(out3.poses), atol=1e-5
+    )
