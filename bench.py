@@ -534,7 +534,10 @@ def main():
 
     # ---- hypothesis renders/s (pack 2 = the pipeline config) ----
     renders = {}
-    for pack in (2, 1):
+    # pack-4 is viable again since the face-segment loop became a
+    # lax.scan (one Mosaic compile per kernel shape instead of one per
+    # segment); measure it after the known-good pack-2 pipeline config.
+    for pack in (2, 4, 1):
         tag = f"renders/pack{pack}"
         if remaining() < 240:
             result["skipped_stages"].append(tag)

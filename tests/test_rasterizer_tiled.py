@@ -196,9 +196,12 @@ def test_hyp_pack_equivalence():
 
 
 def test_face_segmentation_equivalence():
-    """Large meshes render in face segments merged by z; outputs must be
-    bitwise-identical to the single-segment path (self-occluding sphere:
-    winners span segments)."""
+    """Large meshes render in face segments merged by z inside a
+    lax.scan (one Pallas compile for any segment count); outputs must
+    match the single-segment path. Masks are exact; float channels get a
+    tight tolerance — the scan body fuses the plane-coefficient math
+    differently than the straight-line graph (~1e-5 rounding skew),
+    while a real merge bug (wrong face-id offset, wrong winner) is O(1)."""
     sphere = make_uv_sphere(0.05, n_lat=12, n_lon=16)
     TCO = pose_z(0.4, 0.7)
     _, whole = both(sphere, TCO)
@@ -207,10 +210,9 @@ def test_face_segmentation_equivalence():
     np.testing.assert_array_equal(
         np.asarray(whole.mask), np.asarray(seg.mask)
     )
-    np.testing.assert_array_equal(
-        np.asarray(whole.depth), np.asarray(seg.depth)
-    )
-    np.testing.assert_array_equal(np.asarray(whole.rgb), np.asarray(seg.rgb))
-    np.testing.assert_array_equal(
-        np.asarray(whole.normals), np.asarray(seg.normals)
-    )
+    for name in ("depth", "rgb", "normals"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(whole, name)),
+            np.asarray(getattr(seg, name)),
+            rtol=1e-3, atol=1e-3, err_msg=name,
+        )
