@@ -138,7 +138,8 @@ def bench_renders(mesh_db, n_hyp=192, iters=5, resolution=(240, 320),
 
 
 def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
-                   prune=0, prune_keep=8, coarse_res=None):
+                   prune=0, prune_keep=8, coarse_res=None,
+                   coarse_input=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -152,9 +153,14 @@ def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
 
     render = (240, 320)
     dtype = "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
+    # coarse_input: a NATIVELY small coarse scorer (render_size +
+    # observation crop both at the low resolution, so the CNN shrinks
+    # too — vs coarse_res which only lowers the raster and upsamples for
+    # the full-size CNN). Gated on the committed coarse_small_ab A/B.
     coarse = PosePredictor(
         make_coarse_config(
-            render_size=render, compute_dtype=dtype, tile_hyp_pack=hyp_pack
+            render_size=tuple(coarse_input) if coarse_input else render,
+            compute_dtype=dtype, tile_hyp_pack=hyp_pack,
         )
     )
     refiner = PosePredictor(
@@ -208,7 +214,7 @@ def make_estimator(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
 
 def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
                    want_mfu=False, want_phases=False, tag="", prune=0,
-                   prune_keep=8, coarse_res=None):
+                   prune_keep=8, coarse_res=None, coarse_input=None):
     """poses/s with `n_detections` objects per image (amortizes dispatch +
     fixed pipeline costs the way real BOP scenes do).
 
@@ -226,6 +232,7 @@ def bench_pipeline(mesh_db, mesh_db_coarse, n_detections, hyp_pack=1,
     est, K = make_estimator(
         mesh_db, mesh_db_coarse, n_detections, hyp_pack=hyp_pack,
         prune=prune, prune_keep=prune_keep, coarse_res=coarse_res,
+        coarse_input=coarse_input,
     )
     log(f"[{tag or n_detections}] estimator built in "
         f"{time.monotonic()-t_setup:.0f}s")
@@ -341,6 +348,7 @@ def run_worker(spec):
             prune=spec.get("prune", 0),
             prune_keep=spec.get("prune_keep", 8),
             coarse_res=spec.get("coarse_res"),
+            coarse_input=spec.get("coarse_input"),
             tag=spec.get("tag", ""),
         )
         res["device"] = dev
@@ -422,12 +430,14 @@ def _ab_validates(ab, tag):
 
 
 def _load_validation(kind):
-    """Newest committed A/B of `kind` ("prune_ab" | "coarse_res_ab"):
-    returns (ab_dict, validated: bool) or (None, False)."""
+    """Newest committed A/B of `kind` ("prune_ab" | "coarse_res_ab" |
+    "coarse_small_ab"): returns (ab_dict, validated: bool) or
+    (None, False)."""
     for _, rep in _load_ab_reports():
         ab = rep.get(kind)
         if isinstance(ab, dict):
-            tag = "pruned" if kind == "prune_ab" else "coarse_res"
+            tag = {"prune_ab": "pruned", "coarse_res_ab": "coarse_res",
+                   "coarse_small_ab": "coarse_small"}[kind]
             return ab, _ab_validates(ab, tag)
     return None, False
 
@@ -579,6 +589,42 @@ def main():
                 f"poses/sec/chip end-to-end (hierarchical {p_grid}->"
                 f"{p_keep}-parent coarse over the 576 grid + 5 refiner "
                 "iters; accuracy-validated by the committed prune A/B)")
+        emit()
+
+    # ---- natively-small coarse scorer row (headline-promoted only when
+    # the committed coarse_small_ab A/B validates it: a 120x160 coarse
+    # model shrinks the CNN ~4x on the flops_split-dominant stage; the
+    # refiner stays at 240x320) ----
+    cs_ab, cs_ok = _load_validation("coarse_small_ab")
+    result["coarse_small_ab_validation"] = cs_ab
+    if cs_ab is not None and cs_ab.get("coarse_input_size") \
+            and remaining() > 300:
+        c_in = [int(x) for x in cs_ab["coarse_input_size"]]
+        tag = f"coarse-small{c_in[0]}x{c_in[1]}/D{best_d}"
+        spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
+                "coarse_input": c_in, "mfu": True, "tag": tag}
+        if ab is not None and prune_ok and "prune_grid" in ab:
+            spec["prune"] = int(ab["prune_grid"])
+            spec["prune_keep"] = int(ab["prune_keep"])
+            tag += f"-pruned{spec['prune']}-{spec['prune_keep']}"
+            spec["tag"] = tag
+        r = run_stage(spec, timeout=min(1200, max(300, remaining())))
+        result["poses_per_s_coarse_small"] = (
+            round(r["poses_per_s"], 4) if r else 0.0)
+        if not r:
+            result["failed_stages"].append(tag)
+        if r and cs_ok and r["poses_per_s"] > result["value"]:
+            result["value"] = round(r["poses_per_s"], 4)
+            result["vs_baseline"] = round(
+                r["poses_per_s"] / BASELINE_POSES_PER_S, 2)
+            result["mfu"] = round(r.get("mfu", result.get("mfu", 0.0)), 4)
+            result["metric"] = (
+                f"poses/sec/chip end-to-end ({c_in[0]}x{c_in[1]}-native "
+                "coarse scorer over the 576 grid"
+                + (f", hierarchical {spec['prune']}->{spec['prune_keep']}"
+                   if spec.get("prune") else "")
+                + " + 5 refiner iters at 240x320; accuracy-validated by "
+                "the committed coarse_small A/B)")
         emit()
 
     # ---- secondary render rows + real-scale pipeline ----

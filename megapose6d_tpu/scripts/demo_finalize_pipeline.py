@@ -41,6 +41,7 @@ def main(argv=None):
         batch_size="32", coarse_dir="", coarse_epoch="", lod_ab="0",
         prune_ab="0", prune_grid="72", prune_keep="8", top_k="4",
         dtype="auto", coarse_res_ab="0", coarse_render="120,160",
+        coarse2_dir="", coarse2_epoch="",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -242,6 +243,47 @@ def main(argv=None):
             coarse_render_size=list(c_res),
         )
 
+    coarse_small_report = None
+    if args["coarse2_dir"]:
+        # A/B: a SECOND coarse checkpoint trained at a smaller native
+        # input/render resolution (demo_long_coarse render=120,160)
+        # scoring the same SO(3) sweep — unlike coarse_render_size (which
+        # only lowers the raster and upsamples for the same CNN), this
+        # shrinks the CNN itself ~4x, the dominant FLOPs component of the
+        # pipeline (bench flops_split: ~93% coarse scoring). The model's
+        # own crop path (PosePredictor.crop_inputs) resizes observations
+        # to its render_size, so the estimator composes the two models
+        # directly. Reference always scores at 240x320
+        # (models/pose_rigid.py:634-708).
+        from ..training.config import load_config
+
+        cfg2 = load_config(Path(args["coarse2_dir"]) / "config.json")
+        cfg2 = dataclasses.replace(cfg2, compute_dtype=dtype)
+        coarse2 = PosePredictor(
+            PosePredictorConfig(**cfg2.model_config_kwargs())
+        )
+        c2_state = create_train_state(
+            cfg2, coarse2, mesh_db, jax.random.PRNGKey(2),
+            input_res=tuple(cfg2.input_resize),
+        )
+        c2_epoch = (
+            int(args["coarse2_epoch"]) if args["coarse2_epoch"] else None
+        )
+        c2_state, c2_step = load_checkpoint(
+            args["coarse2_dir"], c2_state, epoch=c2_epoch, params_only=True
+        )
+        logger.info(f"loaded small coarse checkpoint @ step {c2_step}")
+        coarse_small_report = ab_report(
+            PoseEstimator(
+                coarse2, c2_state.params, refiner, ref_state.params,
+                mesh_db, icfg,
+            ),
+            "coarse_small",
+            coarse_input_size=list(cfg2.render_size),
+            coarse2_dir=args["coarse2_dir"],
+            coarse2_step=int(c2_step),
+        )
+
     prune_report = None
     if args["prune_ab"] == "1":
         # A/B: hierarchical coarse scoring (probe grid + top-K parents'
@@ -294,6 +336,7 @@ def main(argv=None):
         "lod_ab": lod_report,
         "prune_ab": prune_report,
         "coarse_res_ab": coarse_res_report,
+        "coarse_small_ab": coarse_small_report,
     }
     (out_dir / "report.json").write_text(json.dumps(report, indent=2))
     logger.info(json.dumps(report, indent=2))

@@ -351,3 +351,40 @@ def test_coarse_render_size_pipeline(setup):
     np.testing.assert_allclose(
         np.asarray(out.poses), np.asarray(out3.poses), atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_small_native_coarse_model_pipeline(setup):
+    """A coarse scorer with a SMALLER native render_size than the
+    refiner composes in the estimator (demo_finalize_pipeline
+    coarse2_dir A/B; the model's own crop path resizes observations to
+    its render_size, so no estimator plumbing is involved). The CNN runs
+    ~4x cheaper; this is the flops_split-dominant lever."""
+    est, obs, TCO_gt = setup
+    small = (24, 32)
+    coarse_s = PosePredictor(
+        make_coarse_config(render_size=small, face_chunk=32)
+    )
+    meshes1 = est.mesh_db.select(est.mesh_db.label_to_index(["cube"]))
+    cparams_s = coarse_s.init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1,) + IMG + (3,), jnp.float32),
+        jnp.asarray(obs.K),
+        jnp.eye(4, dtype=jnp.float32)[None],
+        meshes1,
+    )
+    est_s = PoseEstimator(
+        coarse_s, cparams_s, est.refiner_model, est.refiner_params,
+        est.mesh_db, est.cfg,
+    )
+    det = make_detections(["cube"], gt_detection_box(TCO_gt))
+    out, extra = est_s.run_inference_pipeline(obs, det)
+    assert out.poses.shape == (1, 4, 4)
+    assert np.isfinite(out.poses).all()
+    assert np.isfinite(extra["coarse"]["logits"]).all()
+    # Refined poses still come from the FULL-res refiner: rotation stays
+    # a valid SE(3) member.
+    R = out.poses[:, :3, :3]
+    np.testing.assert_allclose(
+        R @ R.transpose(0, 2, 1), np.eye(3)[None], atol=1e-4
+    )
