@@ -437,7 +437,8 @@ def _load_validation(kind):
         ab = rep.get(kind)
         if isinstance(ab, dict):
             tag = {"prune_ab": "pruned", "coarse_res_ab": "coarse_res",
-                   "coarse_small_ab": "coarse_small"}[kind]
+                   "coarse_small_ab": "coarse_small",
+                   "combo_ab": "combo"}[kind]
             return ab, _ab_validates(ab, tag)
     return None, False
 
@@ -597,15 +598,23 @@ def main():
     # refiner stays at 240x320) ----
     cs_ab, cs_ok = _load_validation("coarse_small_ab")
     result["coarse_small_ab_validation"] = cs_ab
+    # Composing LEVERS (small scorer + pruning) needs DIRECT evidence
+    # that the combination preserves accuracy — per-lever gates don't
+    # guarantee they compose (ADVICE r4 on the prune gate's tail).
+    # demo_finalize_pipeline combo_ab=1 runs exactly the combined
+    # configuration; only a validated combo_ab unlocks the composed row.
+    combo, combo_ok = _load_validation("combo_ab")
+    result["combo_ab_validation"] = combo
     if cs_ab is not None and cs_ab.get("coarse_input_size") \
             and remaining() > 300:
         c_in = [int(x) for x in cs_ab["coarse_input_size"]]
         tag = f"coarse-small{c_in[0]}x{c_in[1]}/D{best_d}"
         spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
                 "coarse_input": c_in, "mfu": True, "tag": tag}
-        if ab is not None and prune_ok and "prune_grid" in ab:
-            spec["prune"] = int(ab["prune_grid"])
-            spec["prune_keep"] = int(ab["prune_keep"])
+        if (combo_ok and combo.get("coarse_small")
+                and "prune_grid" in combo):
+            spec["prune"] = int(combo["prune_grid"])
+            spec["prune_keep"] = int(combo["prune_keep"])
             tag += f"-pruned{spec['prune']}-{spec['prune_keep']}"
             spec["tag"] = tag
         r = run_stage(spec, timeout=min(1200, max(300, remaining())))
@@ -613,7 +622,8 @@ def main():
             round(r["poses_per_s"], 4) if r else 0.0)
         if not r:
             result["failed_stages"].append(tag)
-        if r and cs_ok and r["poses_per_s"] > result["value"]:
+        promoted_ok = combo_ok if spec.get("prune") else cs_ok
+        if r and promoted_ok and r["poses_per_s"] > result["value"]:
             result["value"] = round(r["poses_per_s"], 4)
             result["vs_baseline"] = round(
                 r["poses_per_s"] / BASELINE_POSES_PER_S, 2)
@@ -624,7 +634,8 @@ def main():
                 + (f", hierarchical {spec['prune']}->{spec['prune_keep']}"
                    if spec.get("prune") else "")
                 + " + 5 refiner iters at 240x320; accuracy-validated by "
-                "the committed coarse_small A/B)")
+                + ("the committed combined-config A/B)" if spec.get("prune")
+                   else "the committed coarse_small A/B)"))
         emit()
 
     # ---- secondary render rows + real-scale pipeline ----

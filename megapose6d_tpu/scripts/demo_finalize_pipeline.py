@@ -41,7 +41,7 @@ def main(argv=None):
         batch_size="32", coarse_dir="", coarse_epoch="", lod_ab="0",
         prune_ab="0", prune_grid="72", prune_keep="8", top_k="4",
         dtype="auto", coarse_res_ab="0", coarse_render="120,160",
-        coarse2_dir="", coarse2_epoch="",
+        coarse2_dir="", coarse2_epoch="", combo_ab="0",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -244,6 +244,7 @@ def main(argv=None):
         )
 
     coarse_small_report = None
+    coarse2 = c2_state = None
     if args["coarse2_dir"]:
         # A/B: a SECOND coarse checkpoint trained at a smaller native
         # input/render resolution (demo_long_coarse render=120,160)
@@ -306,6 +307,41 @@ def main(argv=None):
             prune_keep=int(args["prune_keep"]),
         )
 
+    combo_report = None
+    if args["combo_ab"] == "1":
+        # A/B of the exact COMBINED fast configuration the bench promotes
+        # (independent per-lever gates assume the levers compose; this is
+        # the direct check): small-native coarse scorer when coarse2_dir
+        # is given (else the full-res one + coarse_render_size), plus
+        # hierarchical pruning at prune_grid/prune_keep.
+        combo_cfg = dataclasses.replace(
+            icfg,
+            SO3_prune_grid_size=int(args["prune_grid"]),
+            SO3_prune_keep=int(args["prune_keep"]),
+            coarse_render_size=(
+                None if coarse2 is not None
+                else tuple(int(x) for x in args["coarse_render"].split(","))
+            ),
+        )
+        c_model = coarse2 if coarse2 is not None else coarse
+        c_params = (
+            c2_state.params if c2_state is not None else coarse_state.params
+        )
+        combo_report = ab_report(
+            PoseEstimator(
+                c_model, c_params, refiner, ref_state.params, mesh_db,
+                combo_cfg,
+            ),
+            "combo",
+            prune_grid=int(args["prune_grid"]),
+            prune_keep=int(args["prune_keep"]),
+            coarse_small=bool(coarse2 is not None),
+            coarse_render_size=(
+                None if coarse2 is not None
+                else [int(x) for x in args["coarse_render"].split(",")]
+            ),
+        )
+
     diam = float(np.asarray(mesh_db.diameters).mean())
     report = {
         "refiner_checkpoint_step": loaded_epoch,
@@ -337,6 +373,7 @@ def main(argv=None):
         "prune_ab": prune_report,
         "coarse_res_ab": coarse_res_report,
         "coarse_small_ab": coarse_small_report,
+        "combo_ab": combo_report,
     }
     (out_dir / "report.json").write_text(json.dumps(report, indent=2))
     logger.info(json.dumps(report, indent=2))
