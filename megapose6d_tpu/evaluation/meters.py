@@ -250,8 +250,18 @@ class BOPScoreMeter:
                 np.asarray(meshes.symmetries),
                 np.asarray(meshes.sym_valid),
             )
-            self.datas["mssd"].extend(errs["mssd"].tolist())
-            self.datas["mspd"].extend(errs["mspd"].tolist())
+            # A non-finite error (NaN pose that escaped a refiner's
+            # fallback) is a miss, same as an unmatched GT: inf keeps the
+            # recall thresholds false AND the medians meaningful (NaN
+            # medians shipped in the r05 depth-refined AR row).
+            self.datas["mssd"].extend(
+                np.where(np.isfinite(errs["mssd"]), errs["mssd"],
+                         np.inf).tolist()
+            )
+            self.datas["mspd"].extend(
+                np.where(np.isfinite(errs["mspd"]), errs["mspd"],
+                         np.inf).tolist()
+            )
             diam = np.asarray(meshes.diameters)
             self.datas["diameter"].extend(diam.tolist())
             if frame is not None and frame.depth is not None:

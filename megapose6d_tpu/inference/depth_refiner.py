@@ -91,10 +91,14 @@ class ICPRefiner(DepthRefiner):
                 n_iterations=self.n_iterations,
             )
             TCO_refined = res.T_delta @ TCO_n
+            # Reference ICP keeps the RGB pose whenever ICP fails
+            # (icp_refiner.py retval != 0); a non-finite transform is a
+            # failure regardless of what the solver's own flag says.
+            ok = res.valid & jnp.isfinite(TCO_refined).all()
             return (
-                jnp.where(res.valid, TCO_refined, TCO_n),
+                jnp.where(ok, TCO_refined, TCO_n),
                 res.residual,
-                res.valid,
+                ok,
             )
 
         keys = jax.random.split(key, N)
@@ -198,10 +202,11 @@ class GNCRegistrationRefiner(DepthRefiner):
                 n_iterations=self.n_iterations,
             )
             TCO_refined = res.T_tgt_src @ TCO_n
+            ok = res.valid & jnp.isfinite(TCO_refined).all()
             return (
-                jnp.where(res.valid, TCO_refined, TCO_n),
+                jnp.where(ok, TCO_refined, TCO_n),
                 res.n_inliers,
-                res.valid,
+                ok,
             )
 
         keys = jax.random.split(key, N)

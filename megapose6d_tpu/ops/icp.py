@@ -140,12 +140,22 @@ def icp_point_to_plane(
         q = tgt_pts[nn]
         n = tgt_normals[nn]
         r = jnp.sum(n * (p - q), axis=-1)  # [N]
-        w = (
+        w_bool = (
             src_valid
             & (nn_d2 < max_corr_dist**2)
-        ).astype(src_pts.dtype)
+            # Depth normals are NaN at depth discontinuities even where
+            # the depth itself passes the range check; a single NaN row
+            # poisons b = (J w)^T r through 0 * NaN = NaN and the solve
+            # returns a NaN transform flagged valid (r05: NaN medians in
+            # the depth-refined AR row).
+            & jnp.isfinite(r)
+            & jnp.isfinite(n).all(-1)
+        )
+        w = w_bool.astype(src_pts.dtype)
+        r = jnp.where(w_bool, r, 0.0)
 
         J = jnp.concatenate([jnp.cross(p, n), n], axis=-1)  # [N, 6]
+        J = jnp.where(w_bool[:, None], J, 0.0)
         A = (J * w[:, None]).T @ J + damping * jnp.eye(6)
         b = -(J * w[:, None]).T @ r
         xi = jnp.linalg.solve(A, b)  # [6] (omega, v)
@@ -157,7 +167,11 @@ def icp_point_to_plane(
 
     T0 = jnp.eye(4, dtype=src_pts.dtype)
     T_final, residuals = jax.lax.scan(step, T0, None, length=n_iterations)
-    ok = (src_valid.sum() > 10) & (tgt_valid.sum() > 10)
+    ok = (
+        (src_valid.sum() > 10)
+        & (tgt_valid.sum() > 10)
+        & jnp.isfinite(T_final).all()
+    )
     return ICPResult(
         T_delta=jnp.where(ok, T_final, jnp.eye(4)),
         residual=residuals[-1],

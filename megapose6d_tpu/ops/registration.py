@@ -107,6 +107,13 @@ def gnc_tls_registration(
     closed-form weight update while annealing mu by `gnc_factor`.
     """
     c2 = jnp.float32(noise_bound) ** 2
+    # Invalid slots may hold NaN (e.g. xyz of masked-out depth pixels);
+    # kabsch runs with w0 + 1e-9 so they'd still poison the centroid
+    # sums (1e-9 * NaN = NaN). Zero them out before any weighted sum.
+    finite = jnp.isfinite(src).all(-1) & jnp.isfinite(tgt).all(-1)
+    valid = valid & finite
+    src = jnp.where(valid[:, None], src, 0.0)
+    tgt = jnp.where(valid[:, None], tgt, 0.0)
     w0 = valid.astype(jnp.float32)
     n_valid = w0.sum()
 
@@ -135,7 +142,7 @@ def gnc_tls_registration(
 
     r2 = jnp.sum((src @ T[:3, :3].T + T[:3, 3] - tgt) ** 2, axis=-1)
     inliers = valid & (r2 <= c2)
-    ok = n_valid >= min_points
+    ok = (n_valid >= min_points) & jnp.isfinite(T).all()
     T = jnp.where(ok, T, jnp.eye(4, dtype=T.dtype))
     return RegistrationResult(
         T_tgt_src=T,

@@ -81,6 +81,42 @@ def test_icp_recovers_translation_offset():
     assert err_after < err_before * 0.35, (err_before, err_after)
 
 
+def test_icp_nan_depth_pixels_dont_poison_solve():
+    """NaN pixels in the measured depth (real sensors emit them) make
+    depth_normals NaN at their finite-depth NEIGHBORS; those rows enter
+    the point-to-plane solve as nearest neighbors and poisoned
+    b = (J w)^T r through 0 * NaN = NaN — the transform came back NaN
+    with valid=True (r05 depth-refined AR row had NaN medians)."""
+    sph = make_uv_sphere(0.05, 16, 24)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, 3] = [0.01, -0.005, 0.5]
+    depth_measured = np.array(render_depth(sph, T_gt))  # writable copy
+    # Sensor dropouts inside the object silhouette.
+    ys, xs = np.where(depth_measured > 0)
+    depth_measured[ys[:: max(1, len(ys) // 40)],
+                   xs[:: max(1, len(xs) // 40)]] = np.nan
+
+    T_pred = T_gt.copy()
+    T_pred[:3, 3] += [0.012, 0.008, 0.02]
+    depth_rendered = render_depth(sph, T_pred)
+
+    res = icp.icp_refine_pose(
+        jax.random.PRNGKey(0),
+        jnp.asarray(T_pred),
+        jnp.asarray(depth_measured),
+        depth_rendered,
+        jnp.asarray(K),
+        n_points=512,
+        n_iterations=25,
+    )
+    T_ref = np.asarray(res.T_delta @ T_pred)
+    assert np.isfinite(T_ref).all()
+    assert bool(res.valid)
+    err_before = np.linalg.norm(T_pred[:3, 3] - T_gt[:3, 3])
+    err_after = np.linalg.norm(T_ref[:3, 3] - T_gt[:3, 3])
+    assert err_after < err_before, (err_before, err_after)
+
+
 def test_icp_refiner_end_to_end():
     objs = RigidObjectDataset(
         [RigidObject(label="cube", mesh=make_cube(0.04))]

@@ -70,6 +70,30 @@ def test_gnc_too_few_points_invalid():
     np.testing.assert_allclose(np.asarray(res.T_tgt_src), np.eye(4))
 
 
+def test_gnc_nan_points_are_dropped():
+    """NaN coordinates (masked-out depth pixels) must not reach the
+    weighted Kabsch sums: the kabsch weights are w0 + 1e-9, so even
+    zero-weight slots poisoned the centroid through 1e-9 * NaN = NaN."""
+    rng = np.random.RandomState(5)
+    N = 200
+    src = rng.randn(N, 3).astype(np.float32) * 0.1
+    T = random_transform(6, angle_deg=15.0, trans=0.05)
+    tgt = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+    valid = np.ones(N, bool)
+    # NaN in invalid slots AND in a few valid-flagged slots.
+    src[:5] = np.nan
+    valid[:5] = False
+    tgt[5:8] = np.nan  # flagged valid; must be dropped by the finite mask
+    res = gnc_tls_registration(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(valid),
+        noise_bound=0.005,
+    )
+    T_est = np.asarray(res.T_tgt_src)
+    assert np.isfinite(T_est).all()
+    assert bool(res.valid)
+    np.testing.assert_allclose(T_est, T, atol=1e-3)
+
+
 def test_fps_spreads_points():
     rng = np.random.RandomState(4)
     # Two well-separated clusters; FPS must pick from both immediately.
