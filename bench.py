@@ -566,7 +566,8 @@ def main():
         emit()
 
     # ---- hierarchical pruning row (headline-promoted only when the
-    # committed prune A/B validates it; 72/8 and 144/16 were rejected) --
+    # committed prune A/B validates it; 72/8 was rejected, 144/16
+    # validated on the 2500-step scorer — runs/final_pipeline_p144b) --
     ab, prune_ok = _load_validation("prune_ab")
     result["prune_ab_validation"] = ab
     if ab is not None and "prune_grid" in ab and remaining() > 300:
