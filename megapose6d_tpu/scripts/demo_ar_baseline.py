@@ -55,6 +55,10 @@ def main(argv=None):
         out_dir="ar_baseline", n_frames="24", so3="576", refine_iters="3",
         backbone="resnet18-spatial", render="240,320", n_hyp="4",
         detector_dir="", depth_refine="0", dtype="auto",
+        # Optional suffix for the report filename, so multiple
+        # configurations (e.g. icp-vs-gnc depth refiners) of the same
+        # domain can share an out_dir/dataset without clobbering.
+        tag="",
         # Observation domain of the generated dataset: "realism"
         # (backgrounds + point light + shadows + IBL) or "unlit"
         # (flat-albedo black-background, matching synthetic_batch_fn
@@ -160,18 +164,28 @@ def main(argv=None):
     ).evaluate(final)
 
     depth_summary = None
-    if args["depth_refine"] == "1":
-        # ICP depth refinement on top of the RGB pipeline (reference
+    if args["depth_refine"] in ("1", "icp", "gnc"):
+        # Depth refinement on top of the RGB pipeline (reference
         # NAMED_MODELS '-icp' variants, pose_estimator.py:616-621).
+        # depth_refine=gnc swaps in the GNC-TLS global-registration
+        # refiner (the reference's TeaserppRefiner analog,
+        # inference/teaserpp_refiner.py:53-289).
         import dataclasses as _dc
 
-        from ..inference.depth_refiner import ICPRefiner
+        from ..inference.depth_refiner import (
+            GNCRegistrationRefiner,
+            ICPRefiner,
+        )
 
+        refiner_cls = (
+            GNCRegistrationRefiner
+            if args["depth_refine"] == "gnc" else ICPRefiner
+        )
         est_icp = PoseEstimator(
             coarse, coarse_state.params, refiner, ref_state.params,
             mesh_db,
             _dc.replace(estimator.cfg, run_depth_refiner=True),
-            depth_refiner=ICPRefiner(mesh_db),
+            depth_refiner=refiner_cls(mesh_db),
         )
         icp_runner = PredictionRunner(
             scene_ds, est_icp, detection_type="gt"
@@ -217,6 +231,10 @@ def main(argv=None):
             det_summary.get("bop", det_summary)
             if isinstance(det_summary, dict) else det_summary
         ),
+        "depth_refine_method": (
+            {"1": "icp", "icp": "icp", "gnc": "gnc"}.get(
+                args["depth_refine"])
+        ),
         "summary_depth_refined": (
             depth_summary.get("bop", depth_summary)
             if isinstance(depth_summary, dict) else depth_summary
@@ -225,6 +243,8 @@ def main(argv=None):
     report_name = (
         "report.json" if domain == "realism" else f"report_{domain}.json"
     )
+    if args["tag"]:
+        report_name = report_name[:-5] + f"_{args['tag']}.json"
     (out_dir / report_name).write_text(
         json.dumps(report, indent=2, default=str)
     )
