@@ -113,14 +113,24 @@ def test_throughput_vs_pil(rng):
     datas = [_png_bytes(a) for a in arrs]
     native.decode_batch(datas[:2])  # warm the .so
 
-    t0 = time.monotonic()
-    native.decode_batch(datas)
-    t_native = time.monotonic() - t0
+    # Best-of-3 per arm: a single sample is dominated by scheduler noise
+    # when the box is loaded (the thread pool loses its cores mid-batch),
+    # which made this assert flaky under a concurrent TPU run.
+    def best_of(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        return best
 
-    t0 = time.monotonic()
-    for d in datas:
-        np.asarray(Image.open(io.BytesIO(d)))
-    t_pil = time.monotonic() - t0
+    t_native = best_of(lambda: native.decode_batch(datas))
+
+    def pil_all():
+        for d in datas:
+            np.asarray(Image.open(io.BytesIO(d)))
+
+    t_pil = best_of(pil_all)
     assert t_native < t_pil * 1.5, (t_native, t_pil)
 
 
