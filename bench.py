@@ -473,27 +473,63 @@ def main():
     def remaining():
         return budget_s - (time.monotonic() - t_start)
 
-    # Accuracy-validated fast-path configuration for the headline stage:
-    # low-res coarse-sweep rasterization (InferenceConfig.
-    # coarse_render_size) when the committed demo_finalize_pipeline
-    # coarse_res_ab A/B validates it on the trained checkpoints.
+    # Accuracy-validated fast-path configuration for the headline stage,
+    # composed from the committed demo_finalize_pipeline A/Bs (newest
+    # first). Composing LEVERS (small scorer + pruning) needs DIRECT
+    # evidence that the combination preserves accuracy — per-lever gates
+    # don't guarantee they compose (ADVICE r4 on the prune gate's tail) —
+    # so the composed config is only used when combo_ab validates; else
+    # fall back to the strongest single validated lever. The best
+    # validated config IS the headline and runs FIRST, so a budget cap
+    # at any later point still leaves the best number parsed.
     cres_ab, cres_ok = _load_validation("coarse_res_ab")
+    cs_ab, cs_ok = _load_validation("coarse_small_ab")
+    combo, combo_ok = _load_validation("combo_ab")
     result["coarse_res_ab_validation"] = cres_ab
-    coarse_res = None
-    if cres_ok and cres_ab.get("coarse_render_size"):
-        coarse_res = [int(x) for x in cres_ab["coarse_render_size"]]
+    result["coarse_small_ab_validation"] = cs_ab
+    result["combo_ab_validation"] = combo
+
+    fast = {}  # validated lever kwargs folded into the headline spec
+    fast_suffix = ""
+    c_in = ([int(x) for x in cs_ab["coarse_input_size"]]
+            if cs_ab is not None and cs_ab.get("coarse_input_size")
+            else None)
+    if (combo_ok and combo.get("coarse_small") and c_in
+            and "prune_grid" in combo):
+        fast = {"coarse_input": c_in, "prune": int(combo["prune_grid"]),
+                "prune_keep": int(combo["prune_keep"])}
+        fast_suffix = (f"-cs{c_in[0]}x{c_in[1]}"
+                       f"-pruned{fast['prune']}-{fast['prune_keep']}")
+        result["metric"] = (
+            f"poses/sec/chip end-to-end ({c_in[0]}x{c_in[1]}-native "
+            f"coarse scorer, hierarchical {fast['prune']}->"
+            f"{fast['prune_keep']}-parent coarse over the 576 grid + 5 "
+            "refiner iters at 240x320; accuracy-validated by the "
+            "committed combined-config A/B)")
+    elif cs_ok and c_in:
+        fast = {"coarse_input": c_in}
+        fast_suffix = f"-cs{c_in[0]}x{c_in[1]}"
+        result["metric"] = (
+            f"poses/sec/chip end-to-end ({c_in[0]}x{c_in[1]}-native "
+            "coarse scorer over the 576 grid + 5 refiner iters at "
+            "240x320; accuracy-validated by the committed coarse_small "
+            "A/B)")
+    elif cres_ok and cres_ab.get("coarse_render_size"):
+        cr = [int(x) for x in cres_ab["coarse_render_size"]]
+        fast = {"coarse_res": cr}
+        fast_suffix = f"-cres{cr[0]}x{cr[1]}"
         result["metric"] = (
             "poses/sec/chip end-to-end (coarse 576-grid rasterized at "
-            f"{coarse_res[0]}x{coarse_res[1]} + 5 refiner iters; "
-            "accuracy-validated by the committed coarse_res A/B)")
+            f"{cr[0]}x{cr[1]} + 5 refiner iters; accuracy-validated by "
+            "the committed coarse_res A/B)")
 
-    # ---- HEADLINE: pipeline D=8, pack=2 (the measured best config) ----
+    # ---- HEADLINE: pipeline D=8, pack=2, best validated config ----
     best_d, best_pack = 8, 2
     headline_spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
-                     "mfu": True, "tag": f"pipeline/D{best_d}-pack{best_pack}"}
-    if coarse_res:
-        headline_spec["coarse_res"] = coarse_res
-        headline_spec["tag"] += f"-cres{coarse_res[0]}x{coarse_res[1]}"
+                     "mfu": True,
+                     "tag": f"pipeline/D{best_d}-pack{best_pack}"
+                            f"{fast_suffix}"}
+    headline_spec.update(fast)
     r = run_stage(headline_spec, timeout=1500)
     per_d = {}
     if r:
@@ -514,9 +550,9 @@ def main():
 
     # ---- phase split + warm cross-process compile for the headline ----
     spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
-            "phases": True, "tag": f"phases/D{best_d}-pack{best_pack}"}
-    if coarse_res:
-        spec["coarse_res"] = coarse_res
+            "phases": True,
+            "tag": f"phases/D{best_d}-pack{best_pack}{fast_suffix}"}
+    spec.update(fast)
     if remaining() > 300:
         r = run_stage(spec, timeout=min(1500, max(300, remaining())))
         if r:
@@ -529,10 +565,25 @@ def main():
         result["skipped_stages"].append(spec["tag"])
     emit()
 
+    # ---- full (no-lever) comparison row: the r02-r04 headline config --
+    spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
+            "tag": f"pipeline/D{best_d}-pack{best_pack}-full"}
+    if fast and remaining() > 300:
+        r = run_stage(spec, timeout=min(1200, max(300, remaining())))
+        if r:
+            result["poses_per_s_full_config"] = round(r["poses_per_s"], 4)
+            per_d[f"{best_d}/pack{best_pack}-full"] = round(
+                r["poses_per_s"], 4)
+        else:
+            result["failed_stages"].append(spec["tag"])
+    elif fast:
+        result["skipped_stages"].append(spec["tag"])
+    emit()
+
     # ---- D=1 row (dispatch-bound single-detection latency) ----
-    spec = {"stage": "pipeline", "D": 1, "pack": 1, "tag": "pipeline/D1-pack1"}
-    if coarse_res:
-        spec["coarse_res"] = coarse_res
+    spec = {"stage": "pipeline", "D": 1, "pack": 1,
+            "tag": f"pipeline/D1-pack1{fast_suffix}"}
+    spec.update(fast)
     if remaining() > 300:
         r = run_stage(spec, timeout=min(1200, max(300, remaining())))
         if r:
@@ -567,17 +618,19 @@ def main():
 
     # ---- hierarchical pruning row (headline-promoted only when the
     # committed prune A/B validates it; 72/8 was rejected, 144/16
-    # validated on the 2500-step scorer — runs/final_pipeline_p144b) --
+    # validated on the 2500-step scorer — runs/final_pipeline_p144b).
+    # Redundant (skipped) when pruning is already in the headline. --
     ab, prune_ok = _load_validation("prune_ab")
     result["prune_ab_validation"] = ab
-    if ab is not None and "prune_grid" in ab and remaining() > 300:
+    if (ab is not None and "prune_grid" in ab and "prune" not in fast
+            and remaining() > 300):
         p_grid = int(ab["prune_grid"])
         p_keep = int(ab["prune_keep"])
         tag = f"pruned{p_grid}-{p_keep}/D{best_d}"
         spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
                 "prune": p_grid, "prune_keep": p_keep, "tag": tag}
-        if coarse_res:
-            spec["coarse_res"] = coarse_res
+        if "coarse_res" in fast:
+            spec["coarse_res"] = fast["coarse_res"]
         r = run_stage(spec, timeout=min(1200, max(300, remaining())))
         result[f"poses_per_s_pruned_{p_grid}_{p_keep}"] = (
             round(r["poses_per_s"], 4) if r else 0.0)
@@ -596,19 +649,9 @@ def main():
     # ---- natively-small coarse scorer row (headline-promoted only when
     # the committed coarse_small_ab A/B validates it: a 120x160 coarse
     # model shrinks the CNN ~4x on the flops_split-dominant stage; the
-    # refiner stays at 240x320) ----
-    cs_ab, cs_ok = _load_validation("coarse_small_ab")
-    result["coarse_small_ab_validation"] = cs_ab
-    # Composing LEVERS (small scorer + pruning) needs DIRECT evidence
-    # that the combination preserves accuracy — per-lever gates don't
-    # guarantee they compose (ADVICE r4 on the prune gate's tail).
-    # demo_finalize_pipeline combo_ab=1 runs exactly the combined
-    # configuration; only a validated combo_ab unlocks the composed row.
-    combo, combo_ok = _load_validation("combo_ab")
-    result["combo_ab_validation"] = combo
-    if cs_ab is not None and cs_ab.get("coarse_input_size") \
-            and remaining() > 300:
-        c_in = [int(x) for x in cs_ab["coarse_input_size"]]
+    # refiner stays at 240x320). Redundant (skipped) when the small
+    # scorer is already in the headline. ----
+    if c_in and "coarse_input" not in fast and remaining() > 300:
         tag = f"coarse-small{c_in[0]}x{c_in[1]}/D{best_d}"
         spec = {"stage": "pipeline", "D": best_d, "pack": best_pack,
                 "coarse_input": c_in, "mfu": True, "tag": tag}
