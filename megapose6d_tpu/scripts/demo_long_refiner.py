@@ -56,6 +56,10 @@ def main(argv=None):
         # comparable across runs; eval on the randomized domain via
         # demo_ar_baseline domain=realism after training.
         domain_rand="0",
+        # occlude=1: z-composite a second random object over the target
+        # (multi-object occlusion robustness; reference trains on
+        # occluded PBR scenes, datasets/pose_dataset.py:108-333).
+        occlude="0",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -109,6 +113,7 @@ def main(argv=None):
         synthetic_batch_fn(
             mesh_db, cfg.batch_size, input_res, f=400.0,
             domain_rand=args["domain_rand"] == "1",
+            occlude=args["occlude"] == "1",
         )
     )
 

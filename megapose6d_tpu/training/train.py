@@ -201,6 +201,7 @@ def synthetic_batch_fn(
     face_chunk: int = 64,
     renderer: str | None = None,
     domain_rand: bool = False,
+    occlude: bool = False,
 ) -> Callable[[Array], BatchPoseData]:
     """Returns a jittable `key -> BatchPoseData` that renders random GT
     scenes of DB objects. Used by overfit tests, the multi-chip dryrun, and
@@ -219,7 +220,14 @@ def synthetic_batch_fn(
     default unlit black-background observations collapse on lit/cluttered
     inputs (the round-4 AR root cause, NEXT.md); hypothesis RENDERS stay
     unlit in both modes, matching the reference's contrast between
-    augmented observations and canonical renders."""
+    augmented observations and canonical renders.
+
+    `occlude=True` z-composites a SECOND random object in front of /
+    beside the target so training observations carry partial occlusion
+    (the reference trains on multi-object PBR scenes with visibility
+    filtering, datasets/pose_dataset.py:108-333; single-object training
+    leaves 2-object occlusion out-of-distribution — round-4/5 AR-table
+    residual gap). The GT pose/bbox stay those of the TARGET object."""
     if renderer is None:
         renderer = "scan" if jax.default_backend() == "cpu" else "tiled"
     H, W = input_res
@@ -258,32 +266,64 @@ def synthetic_batch_fn(
             light_kw = dict(light_ambient=amb, light_point=pnt)
         else:
             light_kw = dict(light_ambient=1.0, light_point=0.0)
-        tex_kw = {}
-        if (
-            meshes.textures is not None
-            and meshes.uvs is not None
-            and meshes.has_tex is not None
-        ):
-            tex_kw = dict(
-                uvs=meshes.uvs, textures=meshes.textures, has_tex=meshes.has_tex
+        def _render(m, T):
+            tex_kw = {}
+            if (
+                m.textures is not None
+                and m.uvs is not None
+                and m.has_tex is not None
+            ):
+                tex_kw = dict(
+                    uvs=m.uvs, textures=m.textures, has_tex=m.has_tex
+                )
+            render_args = (
+                m.vertices, m.normals, m.colors, m.faces,
+                m.face_valid, T, K, (H, W),
             )
-        render_args = (
-            meshes.vertices, meshes.normals, meshes.colors, meshes.faces,
-            meshes.face_valid, TCO, K, (H, W),
-        )
-        if renderer == "tiled":
-            from ..ops import rasterizer_tiled
+            if renderer == "tiled":
+                from ..ops import rasterizer_tiled
 
-            out = rasterizer_tiled.render_meshes_tiled(
-                *render_args, backface_cull=True,
-                interpret=jax.default_backend() == "cpu",
-                **light_kw, **tex_kw,
-            )
-        else:
-            out = rasterizer.render_meshes(
+                return rasterizer_tiled.render_meshes_tiled(
+                    *render_args, backface_cull=True,
+                    interpret=jax.default_backend() == "cpu",
+                    **light_kw, **tex_kw,
+                )
+            return rasterizer.render_meshes(
                 *render_args, chunk=face_chunk, **light_kw, **tex_kw,
             )
+
+        out = _render(meshes, TCO)
         rgbs = out.rgb
+        fg_mask = out.mask
+        if occlude:
+            # Second random object z-composited over the target (fresh
+            # fold_in draws so the default PRNG streams stay untouched).
+            ko1 = jax.random.fold_in(key, 104)
+            ko2 = jax.random.fold_in(key, 105)
+            ko3 = jax.random.fold_in(key, 106)
+            mesh_idx2 = jax.random.randint(ko1, (batch_size,), 0, L)
+            q2 = quat_pool[
+                jax.random.randint(ko2, (batch_size,), 0, len(quat_pool))
+            ]
+            # Beside the target (3-9 cm lateral) and slightly closer to
+            # the camera, so the occluder wins the z-merge where the
+            # silhouettes overlap.
+            off = jax.random.uniform(
+                ko3, (batch_size, 3),
+                minval=jnp.asarray([-0.09, -0.09, -0.12]),
+                maxval=jnp.asarray([0.09, 0.09, -0.02]),
+            )
+            sign = jnp.where(off[:, :2] >= 0, 1.0, -1.0)
+            off = off.at[:, :2].add(sign * 0.03)
+            TCO2 = make_se3(
+                rotmat_from_quat(q2), TCO[:, :3, 3] + off
+            )
+            out2 = _render(mesh_db.select(mesh_idx2), TCO2)
+            d1 = jnp.where(out.mask, out.depth, jnp.inf)
+            d2 = jnp.where(out2.mask, out2.depth, jnp.inf)
+            occ = out2.mask & (d2 < d1)
+            rgbs = jnp.where(occ[..., None], out2.rgb, rgbs)
+            fg_mask = out.mask | out2.mask
         if domain_rand:
             # Procedural background behind the object (lazy import: no
             # scripts -> training cycle exists, but keep the training
@@ -295,7 +335,7 @@ def synthetic_batch_fn(
             bg = jax.vmap(lambda k: _random_background(k, (H, W)))(
                 jax.random.split(k7, batch_size)
             )
-            rgbs = jnp.where(out.mask[..., None], rgbs, bg.astype(rgbs.dtype))
+            rgbs = jnp.where(fg_mask[..., None], rgbs, bg.astype(rgbs.dtype))
         uv = project_points_robust(meshes.points, K, TCO)
         bboxes = masked_boxes_from_uv(
             uv, jnp.ones(uv.shape[:2], bool)

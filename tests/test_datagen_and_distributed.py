@@ -351,3 +351,55 @@ def test_synthetic_batch_domain_rand():
         synthetic_batch_fn(db, 2, (64, 80), f=80.0, domain_rand=True)
     )(jax.random.PRNGKey(8))
     assert np.abs(np.asarray(rand2.rgbs, np.float32) - r).max() > 0.05
+
+
+def test_synthetic_batch_occlude():
+    """occlude=True z-composites a second object over the target while
+    keeping the TARGET's GT pose/bbox/mesh_idx and PRNG streams intact
+    (occluder draws use fresh fold_in streams) — the reference trains on
+    multi-object scenes with occlusion (datasets/pose_dataset.py:108-333);
+    single-object training left 2-object occlusion out-of-distribution
+    (round-5 AR residual gap)."""
+    import jax
+
+    from megapose6d_tpu.meshes.mesh_db import MeshDataBase
+    from megapose6d_tpu.scripts.generate_synthetic_dataset import (
+        _default_objects,
+    )
+    from megapose6d_tpu.training.train import synthetic_batch_fn
+
+    objs = _default_objects()
+    db = MeshDataBase.from_object_ds(
+        objs, max_faces=256, n_points=128, n_sym=2
+    ).batched(align=32)
+    key = jax.random.PRNGKey(11)
+    plain = jax.jit(synthetic_batch_fn(db, 4, (64, 80), f=80.0))(key)
+    occ = jax.jit(
+        synthetic_batch_fn(db, 4, (64, 80), f=80.0, occlude=True)
+    )(key)
+    # GT labels/poses/boxes are the TARGET object's, unchanged.
+    np.testing.assert_array_equal(
+        np.asarray(plain.mesh_idx), np.asarray(occ.mesh_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.TCO), np.asarray(occ.TCO), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.bboxes), np.asarray(occ.bboxes), atol=1e-6
+    )
+    # The occluder is strictly closer to the camera, so it must add
+    # (not remove) foreground: some pixels change in every sample.
+    p = np.asarray(plain.rgbs, np.float32)
+    o = np.asarray(occ.rgbs, np.float32)
+    changed = (np.abs(o - p).max(-1) > 1e-6).reshape(4, -1).any(-1)
+    assert changed.all(), f"occluder absent in samples {np.where(~changed)}"
+    # And composition with domain_rand must fill the background behind
+    # BOTH objects (fg_mask union).
+    both = jax.jit(
+        synthetic_batch_fn(
+            db, 4, (64, 80), f=80.0, domain_rand=True, occlude=True
+        )
+    )(key)
+    b = np.asarray(both.rgbs, np.float32)
+    black_px = (b.reshape(4, -1, 3) == 0).all(-1)
+    assert black_px.mean() < 0.1, "background not composited under occlude"
