@@ -42,6 +42,10 @@ def main(argv=None):
         prune_ab="0", prune_grid="72", prune_keep="8", top_k="4",
         dtype="auto", coarse_res_ab="0", coarse_render="120,160",
         coarse2_dir="", coarse2_epoch="", combo_ab="0",
+        # combo_top_k: also shrink the refiner beam (n_pose_hypotheses)
+        # in the combined-config A/B — the refiner phase scales linearly
+        # with the beam, so top-2 halves it vs the default top-4.
+        combo_top_k="",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -323,6 +327,10 @@ def main(argv=None):
                 else tuple(int(x) for x in args["coarse_render"].split(","))
             ),
         )
+        if args["combo_top_k"]:
+            combo_cfg = dataclasses.replace(
+                combo_cfg, n_pose_hypotheses=int(args["combo_top_k"])
+            )
         c_model = coarse2 if coarse2 is not None else coarse
         c_params = (
             c2_state.params if c2_state is not None else coarse_state.params
@@ -336,6 +344,10 @@ def main(argv=None):
             prune_grid=int(args["prune_grid"]),
             prune_keep=int(args["prune_keep"]),
             coarse_small=bool(coarse2 is not None),
+            **(
+                {"top_k": int(args["combo_top_k"])}
+                if args["combo_top_k"] else {}
+            ),
             coarse_render_size=(
                 None if coarse2 is not None
                 else [int(x) for x in args["coarse_render"].split(",")]

@@ -148,3 +148,13 @@ def test_ab_validation_gate():
     bad_tail = dict(median_only, add_mm_worst_frame_delta=86.0)
     assert not bench._ab_validates(bad_tail, "pruned")
     assert not bench._ab_validates(None, "pruned")
+
+
+def test_beam_reaches_inference_config():
+    """The `beam` bench knob (combo A/B `top_k`: shrunk refiner beam)
+    must reach InferenceConfig.n_pose_hypotheses; 0 keeps the default 5."""
+    mesh_db, mesh_db_coarse = bench.build_world()
+    est, _ = bench.make_estimator(mesh_db, mesh_db_coarse, 2, beam=2)
+    assert est.cfg.n_pose_hypotheses == 2
+    est5, _ = bench.make_estimator(mesh_db, mesh_db_coarse, 2)
+    assert est5.cfg.n_pose_hypotheses == 5
