@@ -601,8 +601,18 @@ def make_cylinder(
     length: float = 0.1,
     n_seg: int = 24,
     color=(0.4, 0.7, 0.3),
+    textured: bool = False,
+    seed: int = 2,
 ) -> TriMesh:
-    """Closed cylinder along +z (panda3d_renderer/geometry.py analog)."""
+    """Closed cylinder along +z (panda3d_renderer/geometry.py analog).
+
+    With ``textured=True`` the side wraps u=angle over the atlas'
+    lower band (seam column duplicated so interpolation never crosses
+    the u=1->0 jump, like make_uv_sphere) and each cap maps to its own
+    disc in the upper band — every surface point gets a distinct tile
+    of the random-block texture (see make_random_texture)."""
+    if textured:
+        return _textured_cylinder(radius, length, n_seg, seed)
     ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
     ring = np.stack([np.cos(ang) * radius, np.sin(ang) * radius], -1)
     bot = np.concatenate([ring, np.full((n_seg, 1), -length / 2)], -1)
@@ -621,13 +631,68 @@ def make_cylinder(
     ).with_computed_normals()
 
 
+def _textured_cylinder(
+    radius: float, length: float, n_seg: int, seed: int
+) -> TriMesh:
+    """Textured cylinder body for make_cylinder(textured=True): side and
+    caps carry explicit (duplicated) vertices so UVs are seam-safe."""
+    ang = np.linspace(0, 2 * np.pi, n_seg + 1)  # duplicated seam column
+    cx, sy = np.cos(ang) * radius, np.sin(ang) * radius
+    pad = 1.0 / 128.0
+    verts, uvs, faces = [], [], []
+    # Side: 2 rows x (n_seg+1) cols; v-band [pad, 0.66].
+    for row, z in enumerate((-length / 2, length / 2)):
+        for j in range(n_seg + 1):
+            verts.append([cx[j], sy[j], z])
+            uvs.append([pad + (1 - 2 * pad) * j / n_seg,
+                        pad + (0.66 - 2 * pad) * row])
+    for j in range(n_seg):
+        a, b = j, j + 1
+        c, d = (n_seg + 1) + j, (n_seg + 1) + j + 1
+        faces += [[a, b, c], [b, d, c]]
+    # Caps: own rim vertices (polar UV discs in the upper band).
+    for s, (z, cu) in enumerate(
+        ((-length / 2, 0.25), (length / 2, 0.75))
+    ):
+        base = len(verts)
+        for j in range(n_seg):
+            verts.append([cx[j], sy[j], z])
+            uvs.append([cu + 0.11 * np.cos(ang[j]),
+                        0.84 + 0.11 * np.sin(ang[j])])
+        verts.append([0.0, 0.0, z])
+        uvs.append([cu, 0.84])
+        center = base + n_seg
+        for j in range(n_seg):
+            jn = (j + 1) % n_seg
+            if s == 0:  # bottom cap faces -z: wind [c, j, i]
+                faces.append([center, base + jn, base + j])
+            else:  # top cap faces +z: wind [c, i, j]
+                faces.append([center, base + j, base + jn])
+    return TriMesh(
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32),
+        vertex_colors=np.full((len(verts), 3), 0.7, np.float32),
+        vertex_uvs=np.asarray(uvs, np.float32),
+        texture=make_random_texture(size=192, cells=24, seed=seed),
+    ).with_computed_normals()
+
+
 def make_cone(
     radius: float = 0.02,
     height: float = 0.06,
     n_seg: int = 24,
     color=(0.8, 0.6, 0.2),
+    textured: bool = False,
+    seed: int = 3,
 ) -> TriMesh:
-    """Closed cone, apex at +z (geometry.py analog)."""
+    """Closed cone, apex at +z (geometry.py analog).
+
+    With ``textured=True`` the slanted side maps u=angle / v=height over
+    the atlas' lower band (seam column AND apex duplicated per column,
+    the make_uv_sphere pole treatment) and the base cap gets a polar
+    disc in the upper band."""
+    if textured:
+        return _textured_cone(radius, height, n_seg, seed)
     ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
     base = np.stack(
         [np.cos(ang) * radius, np.sin(ang) * radius, np.zeros(n_seg)], -1
@@ -643,6 +708,47 @@ def make_cone(
     colors = np.tile(np.asarray(color, np.float32), (len(verts), 1))
     return TriMesh(
         verts, np.asarray(faces, np.int32), vertex_colors=colors
+    ).with_computed_normals()
+
+
+def _textured_cone(
+    radius: float, height: float, n_seg: int, seed: int
+) -> TriMesh:
+    """Textured cone body for make_cone(textured=True)."""
+    ang = np.linspace(0, 2 * np.pi, n_seg + 1)  # duplicated seam column
+    cx, sy = np.cos(ang) * radius, np.sin(ang) * radius
+    pad = 1.0 / 128.0
+    verts, uvs, faces = [], [], []
+    # Base ring row (v at the bottom of the side band) then a
+    # per-column apex row (the sphere's pole-ring trick: each column
+    # keeps its own u so texture interpolation stays local).
+    for j in range(n_seg + 1):
+        verts.append([cx[j], sy[j], 0.0])
+        uvs.append([pad + (1 - 2 * pad) * j / n_seg, 0.66 - pad])
+    for j in range(n_seg + 1):
+        verts.append([0.0, 0.0, height])
+        uvs.append([pad + (1 - 2 * pad) * j / n_seg, pad])
+    for j in range(n_seg):
+        # Side winding matches the untextured [i, j, apex].
+        faces.append([j, j + 1, (n_seg + 1) + j])
+    # Base cap: own rim with a polar UV disc in the upper band.
+    cap = len(verts)
+    for j in range(n_seg):
+        verts.append([cx[j], sy[j], 0.0])
+        uvs.append([0.5 + 0.11 * np.cos(ang[j]),
+                    0.84 + 0.11 * np.sin(ang[j])])
+    verts.append([0.0, 0.0, 0.0])
+    uvs.append([0.5, 0.84])
+    center = cap + n_seg
+    for j in range(n_seg):
+        jn = (j + 1) % n_seg
+        faces.append([center, cap + jn, cap + j])  # faces -z: [c, j, i]
+    return TriMesh(
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32),
+        vertex_colors=np.full((len(verts), 3), 0.7, np.float32),
+        vertex_uvs=np.asarray(uvs, np.float32),
+        texture=make_random_texture(size=192, cells=24, seed=seed),
     ).with_computed_normals()
 
 

@@ -38,10 +38,45 @@ from .generate_synthetic_dataset import generate_bop
 logger = get_logger(__name__)
 
 
-def build_bop_world():
-    """The demo world (demo_synthetic_e2e.build_world) under
-    BOP-convention labels, so the generated dataset and CSV keep obj_id
-    semantics."""
+def build_bop_world(world: str = "demo"):
+    """The eval world under BOP-convention labels, so the generated
+    dataset and CSV keep obj_id semantics.
+
+    world="demo": the textured cube+sphere the demo checkpoints were
+    TRAINED on (demo_synthetic_e2e.build_world).
+    world="novel": textured cylinder+cone — shapes AND textures the
+    checkpoints have NEVER seen. Render-and-compare conditions on the
+    mesh only through its renders, so trained weights apply to new
+    meshes with no retraining — the reference's headline novel-object
+    capability (its NAMED_MODELS are advertised as working on unseen
+    meshes; inference loads an arbitrary mesh database at run time,
+    reference inference/pose_estimator.py:98-135)."""
+    if world == "novel":
+        from ..data.object_datasets import RigidObject, RigidObjectDataset
+        from ..meshes.io import make_cone, make_cylinder
+        from ..meshes.mesh_db import MeshDataBase
+
+        objs = RigidObjectDataset(
+            [
+                RigidObject(
+                    label="obj_000001",
+                    mesh=make_cylinder(
+                        0.022, 0.09, n_seg=32, textured=True, seed=7
+                    ),
+                ),
+                RigidObject(
+                    label="obj_000002",
+                    mesh=make_cone(
+                        0.035, 0.08, n_seg=32, textured=True, seed=8
+                    ),
+                ),
+            ]
+        )
+        db = MeshDataBase.from_object_ds(
+            objs, max_faces=2048, n_points=512, n_sym=4
+        ).batched()
+        return db, objs
+    assert world == "demo", world
     from .demo_synthetic_e2e import build_world
 
     return build_world(
@@ -65,6 +100,10 @@ def main(argv=None):
         # training observations — see NEXT.md: models trained on the
         # demo batches collapse on realism observations).
         domain="realism",
+        # world=demo: the training objects (cube+sphere).
+        # world=novel: textured cylinder+cone NEVER seen in training —
+        # the novel-object transfer row (see build_bop_world).
+        world="demo",
     )
     for a in sys.argv[1:] if argv is None else argv:
         k, _, v = a.partition("=")
@@ -87,14 +126,16 @@ def main(argv=None):
         # default to platform dtype but accept an override.
         dtype = args["dtype"]
 
-    mesh_db, objects = build_bop_world()
+    mesh_db, objects = build_bop_world(args["world"])
 
     # BOP-layout dataset at the training camera statistics (f=400,
     # 240x320 — synthetic_batch_fn's defaults in the demo runs).
     domain = args["domain"]
     assert domain in ("realism", "unlit"), domain
-    ds_dir = out_dir / ("synthdemo" if domain == "realism"
-                        else "synthdemo_unlit")
+    ds_dir = out_dir / (
+        ("synthdemo" if domain == "realism" else "synthdemo_unlit")
+        + ("" if args["world"] == "demo" else f"_{args['world']}")
+    )
     if not (ds_dir / "test").exists():
         generate_bop(
             mesh_db, objects, ds_dir,
@@ -217,6 +258,7 @@ def main(argv=None):
     report = {
         "dataset": str(ds_dir),
         "domain": domain,
+        "world": args["world"],
         "n_frames": len(scene_ds),
         "refiner_step": int(r_step),
         "coarse_step": int(c_step),
@@ -243,6 +285,8 @@ def main(argv=None):
     report_name = (
         "report.json" if domain == "realism" else f"report_{domain}.json"
     )
+    if args["world"] != "demo":
+        report_name = report_name[:-5] + f"_{args['world']}.json"
     if args["tag"]:
         report_name = report_name[:-5] + f"_{args['tag']}.json"
     (out_dir / report_name).write_text(

@@ -292,3 +292,72 @@ def test_synthetic_batch_renders_textures():
     # under 0.08; the random block texture is far above.
     std = rgb[mask].std(0).mean()
     assert std > 0.12, std
+
+
+def test_textured_cylinder_and_cone():
+    """make_cylinder/make_cone textured=True: seam-safe UV-mapped meshes
+    (novel-object eval world, demo_ar_baseline world=novel) whose renders
+    show the high-frequency block texture."""
+    import jax
+
+    from megapose6d_tpu.meshes.io import make_cone, make_cylinder
+    from megapose6d_tpu.training.train import synthetic_batch_fn
+
+    cyl = make_cylinder(0.022, 0.09, n_seg=12, textured=True, seed=7)
+    cone = make_cone(0.035, 0.08, n_seg=12, textured=True, seed=8)
+    for m in (cyl, cone):
+        assert m.vertex_uvs is not None and m.vertex_uvs.shape == (
+            m.n_vertices,
+            2,
+        )
+        assert m.texture is not None and m.texture.dtype == np.uint8
+        assert m.vertex_uvs.min() >= 0.0 and m.vertex_uvs.max() <= 1.0
+        # No face spans the u seam: within-face u range stays local
+        # (the duplicated seam column keeps interpolation off the
+        # u=1->0 jump that smears the whole texture across one face).
+        span = np.ptp(m.vertex_uvs[m.faces, 0], axis=1)
+        assert span.max() < 0.5, span.max()
+    # Geometry sanity: radii and extents survive the UV rebuild.
+    r = np.linalg.norm(cyl.vertices[:, :2], axis=-1)
+    assert r.max() == pytest.approx(0.022, abs=1e-6)
+    assert abs(cyl.vertices[:, 2]).max() == pytest.approx(0.045)
+    assert cone.vertices[:, 2].max() == pytest.approx(0.08)
+
+    db = MeshDataBase.from_object_ds(
+        RigidObjectDataset(
+            [
+                RigidObject(label="cyl", mesh=cyl),
+                RigidObject(label="cone", mesh=cone),
+            ]
+        ),
+        max_faces=128,
+        n_points=32,
+        n_sym=2,
+        texture_size=96,
+    ).batched(align=8)
+    assert [bool(x) for x in db.has_tex] == [True, True]
+    batch = jax.jit(synthetic_batch_fn(db, 4, (64, 80), f=80.0))(
+        jax.random.PRNGKey(0)
+    )
+    rgb = np.asarray(batch.rgbs)
+    mask = rgb.sum(-1) > 0.02
+    assert mask.any()
+    std = rgb[mask].std(0).mean()
+    assert std > 0.12, std
+
+
+def test_novel_world_builds():
+    """demo_ar_baseline's world=novel builds a batched textured mesh_db
+    distinct from the training world (the novel-object transfer row)."""
+    from megapose6d_tpu.scripts.demo_ar_baseline import build_bop_world
+
+    db, objs = build_bop_world("novel")
+    assert list(db.labels) == ["obj_000001", "obj_000002"]
+    assert db.textures is not None
+    demo_db, _ = build_bop_world("demo")
+    # Same label surface, different geometry: a checkpoint trained on
+    # the demo world sees genuinely new shapes.
+    assert db.points.shape[-1] == demo_db.points.shape[-1] == 3
+    assert not np.allclose(
+        np.asarray(db.points.mean(1)), np.asarray(demo_db.points.mean(1))
+    )
